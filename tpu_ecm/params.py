@@ -1,0 +1,264 @@
+"""Arithmetic-context construction: radix selection and Montgomery/Mersenne setup.
+
+This is the TPU-native replacement for the reference's ``monty`` context and
+compile-time MAXBITS/NWORDS sizing (see /root/reference/main.c:464-533 and
+/root/reference/vec_common.c:100-131).  Where the reference picks a fixed
+52-bit (or 32-bit) limb width for AVX-512 lanes and quantizes inputs to
+208-bit steps, we pick a *reduced radix* ``2**w`` (w <= 13) so that schoolbook
+column sums of digit products accumulate exactly in int32 vector registers —
+the native integer MAC width of the TPU VPU.  Carries live in the int32
+headroom (carry-save) and are only lazily normalized; there are no
+conditional subtracts anywhere in the hot path because R >= 16*N keeps every
+intermediate in (-4N, 4N)  [standard redundant-Montgomery bound:
+|REDC(a*b)| <= (16N^2 + RN)/R <= 2N when |a|,|b| <= 4N and R >= 16N].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def _digit_bound_fixed_point(w: int, nw: int) -> int:
+    """Worst-case int32 column magnitude for mont_mul at radix 2**w, nw digits.
+
+    mul inputs are either normalized mul outputs (digits in
+    (-cmax2, 2**w + cmax2)) or a single add/sub of two of those.  Solve the
+    fixed point of: column <= nw*(din^2 + 2**(2w)) + 2*column>>w.
+    Returns the fixed-point column bound (or a huge number if divergent).
+    """
+    col = 1 << (2 * w + 4)
+    for _ in range(30):
+        c2 = (col >> (2 * w)) + 2          # residual carry after 2 lazy passes
+        din = 2 * ((1 << w) + c2)          # one add/sub of two mul outputs
+        new_col = nw * (din * din + (1 << (2 * w))) + 2 * (col >> w)
+        if new_col == col:
+            return col
+        col = new_col
+    return col
+
+
+def select_radix(nbits: int) -> Tuple[int, int]:
+    """Pick (w, nw): the largest radix 2**w whose worst-case column sums fit
+    int32, with nw digits giving R = 2**(w*nw) >= 16 * 2**nbits >= 16*N.
+
+    The +5/+1 slack mirrors the role of the reference's 208-bit quantization
+    (/root/reference/main.c:464-480): arithmetic cost is constant within a
+    radix step, and every value fits with a signed guard digit on top.
+    """
+    for w in range(13, 5, -1):
+        nw = (nbits + 4 + w - 1) // w + 1
+        # keep 5% margin below 2**31
+        if _digit_bound_fixed_point(w, nw) < int(0.95 * 2**31):
+            return w, nw
+    raise ValueError(f"no valid radix for {nbits}-bit modulus")
+
+
+@dataclasses.dataclass(frozen=True)
+class ArithParams:
+    """Static (trace-time) arithmetic geometry."""
+    w: int          # radix bits
+    nw: int         # number of digits per bignum
+    nbits: int      # bit size the geometry was sized for
+
+    @property
+    def mask(self) -> int:
+        return (1 << self.w) - 1
+
+    @property
+    def R(self) -> int:
+        return 1 << (self.w * self.nw)
+
+
+@dataclasses.dataclass(frozen=True)
+class MontyCtx:
+    """Montgomery context for a fixed odd modulus N shared by all curves.
+
+    Host-side mirror of the reference ``monty`` struct
+    (/root/reference/avx_ecm.h:126-147): n, nhat (here: the single-digit
+    nprime = -N^-1 mod 2^w, the analog of vrho), rhat (R^2 mod N for
+    to-Montgomery conversion), one (R mod N).  ``mersenne_c`` / ``mersenne_e``
+    select the special-form reduction path (isMersenne in the reference);
+    when active, arithmetic is done mod M = 2^e - c and ``n_int`` is M, while
+    ``input_n`` keeps the original composite for gcd checks — exactly the
+    vnhat trick at /root/reference/main.c:599-618.
+    """
+    p: ArithParams
+    n_int: int                 # working modulus (N, or the full Mersenne M)
+    input_n: int               # original input composite (gcd target)
+    nprime: int                # -n_int^-1 mod 2^w  (0 for Mersenne path)
+    r_mod_n: int               # R mod n_int ("one" in Montgomery form)
+    r2_mod_n: int              # R^2 mod n_int
+    mersenne_e: int = 0        # exponent e when n_int = 2^e - c, else 0
+    mersenne_c: int = 0        # signed c (1 for 2^e-1, -1 for 2^e+1, c>=2 pseudo)
+
+    @property
+    def is_mersenne(self) -> bool:
+        return self.mersenne_e != 0
+
+    def to_mont_int(self, x: int) -> int:
+        if self.is_mersenne:
+            return x % self.n_int
+        return (x << (self.p.w * self.p.nw)) % self.n_int
+
+    def from_mont_int(self, x: int) -> int:
+        if self.is_mersenne:
+            return x % self.n_int
+        rinv = pow(self.p.R, -1, self.n_int)
+        return (x * rinv) % self.n_int
+
+
+def make_monty(n: int, *, mersenne: Optional[Tuple[int, int]] = None,
+               force_w: Optional[int] = None) -> MontyCtx:
+    """Build a MontyCtx for odd composite n.
+
+    mersenne=(e, c) requests the special-form path: all arithmetic is done
+    mod M = 2^e - c (c may be negative: 2^e+1 has c=-1), with gcds taken
+    against the original n.
+    """
+    if n % 2 == 0:
+        raise ValueError("modulus must be odd")
+    if mersenne is not None:
+        e, c = mersenne
+        m = (1 << e) - c
+        if m % n != 0:
+            raise ValueError("2^e - c is not a multiple of n")
+        if force_w is not None:
+            w = force_w
+            nw = (e + 4 + w - 1) // w + 1
+        else:
+            w, nw = select_radix(e)
+        p = ArithParams(w=w, nw=nw, nbits=e)
+        return MontyCtx(p=p, n_int=m, input_n=n, nprime=0,
+                        r_mod_n=1, r2_mod_n=1, mersenne_e=e, mersenne_c=c)
+
+    nbits = n.bit_length()
+    if force_w is not None:
+        w = force_w
+        nw = (nbits + 4 + w - 1) // w + 1
+    else:
+        w, nw = select_radix(nbits)
+    p = ArithParams(w=w, nw=nw, nbits=nbits)
+    R = p.R
+    nprime = (-pow(n, -1, 1 << w)) % (1 << w)
+    return MontyCtx(p=p, n_int=n, input_n=n, nprime=nprime,
+                    r_mod_n=R % n, r2_mod_n=(R * R) % n)
+
+
+def detect_mersenne(n: int, max_exp: int = 2048,
+                    digit_bits: int = 52) -> Optional[Tuple[int, int]]:
+    """Detect 2^e-1 / 2^e+1 / 2^e-c special forms dividing... divisible by n.
+
+    Re-derivation of the scan at /root/reference/main.c:406-442: for rising e
+    starting just below n's bit size, accept the first e with n | 2^e - 1
+    (c=1), n | 2^e + 1 (c=-1), or 2^e mod n smaller than ``digit_bits`` bits
+    (pseudo-Mersenne c = 2^e mod n, so n | 2^e - c).
+    Returns (e, c) or None.
+    """
+    size_n = n.bit_length()
+    for e in range(size_n - 1, max_exp):
+        r = 1 << e
+        if (r - 1) % n == 0:
+            return (e, 1)
+        if (r + 1) % n == 0:
+            return (e, -1)
+        g = r % n
+        if 0 < g.bit_length() < digit_bits:
+            return (e, g)
+    return None
+
+
+def mersenne_density_ok(n: int, e: int, threshold: float = 0.7) -> bool:
+    """The reference falls back to generic REDC when the input uses < 70% of
+    the Mersenne width (/root/reference/main.c:505-516)."""
+    return (n.bit_length() / e) >= threshold
+
+
+def strip_algebraic_factors(n: int, e: int, c: int) -> int:
+    """For (true) Mersenne inputs 2^e-1 / 2^e+1 that still contain algebraic
+    factors, reduce n to gcd(n, primitive part).  Mirrors
+    find_primitive_factor (/root/reference/main.c:187-353), which builds the
+    primitive factor of 2^e -/+ 1 by inclusion-exclusion over the distinct
+    odd prime factors of e (after http://home.earthlink.net/~elevensmooth).
+    Returns the reduced n (gcd of n with the primitive part).
+    """
+    assert c in (1, -1)
+    # factor e over small primes
+    f = []
+    x = e
+    d = 2
+    while d * d <= x:
+        while x % d == 0:
+            f.append(d)
+            x //= d
+        d += 1
+    if x > 1:
+        f.append(x)
+    odd_distinct = sorted({q for q in f if q % 2 == 1})
+    if len(odd_distinct) > 3:
+        raise ValueError("too many distinct odd factors in exponent")
+    mult = e
+    for q in odd_distinct:
+        mult //= q
+    # ranks: rank k = products of k distinct odd primes
+    import itertools
+    ranks = [[1], odd_distinct]
+    if len(odd_distinct) >= 2:
+        ranks.append([a * b for a, b in itertools.combinations(odd_distinct, 2)])
+    if len(odd_distinct) == 3:
+        ranks.append([odd_distinct[0] * odd_distinct[1] * odd_distinct[2]])
+    nr = len(ranks)
+    mrank = 0 if (nr & 1) == 1 else 1
+    num = 1
+    den = 1
+    for i in range(nr - 1, -1, -1):
+        for term_exp in ranks[i]:
+            term = (1 << (term_exp * mult)) + (1 if c < 0 else -1)
+            # NOTE: reference uses coeff2=-isMersenne, so 2^e-1 -> terms 2^k-1
+            if (i & 1) == mrank:
+                num *= term
+            else:
+                den *= term
+    primitive = num // den
+    g = math.gcd(n, primitive)
+    return g
+
+
+def choose_stage2_D(b1: int) -> int:
+    """Stage-2 giant-step size by B1 (/root/reference/main.c:840-872)."""
+    if b1 <= 60:
+        return 30
+    if b1 <= 128:
+        return 60
+    if b1 <= 256:
+        return 120
+    if b1 <= 512:
+        return 210
+    if b1 <= 2048:
+        return 385
+    if b1 <= 4096:
+        return 1155
+    return 2310
+
+
+def choose_stage2_U(b1: int, b2: int, D: int, veclen_equiv: int = 8) -> int:
+    """Stage-2 window multiplier U by add/inversion cost model.
+
+    Re-derivation of /root/reference/main.c:884-951 (with the uninitialized
+    ``paircost`` term of the reference taken as 0, making the model
+    deterministic): minimize 6*(numadds + D*U) + numinv*(veclen*6 + 3) over
+    U in {2,3,4,6,8,12,16}.  L is always 2*U (/root/reference/main.c:951).
+    """
+    best_u, best = 4, float("inf")
+    numadds = (b2 - b1) / D
+    for u in (2, 3, 4, 6, 8, 12, 16):
+        addcost = 6.0 * (numadds + D * u)
+        numinv = numadds / u / 2.0 + 2
+        invcost = numinv * (veclen_equiv * 6.0) + numinv * 3.0
+        cost = addcost + invcost
+        if cost < best:
+            best, best_u = cost, u
+    return best_u
