@@ -18,8 +18,7 @@ from tpu_ecm.limbs import jnp_ops, layout
 
 M127 = (1 << 127) - 1
 # 416-bit-ish composite: product of two ~208-bit primes-ish odd numbers
-N416 = ((1 << 207) + 2187) * ((1 << 208) + 5507)
-N256 = ((1 << 127) + 29) * ((1 << 128) + 51)
+from moduli import N416, N256
 
 
 def rand_vals(n, b, rng):
