@@ -1,0 +1,139 @@
+"""End-to-end factoring runs with pinned sigmas (the reference's test.csh /
+test_t35.csh strategy, SURVEY.md section 4): fixed sigma => the known factor
+MUST appear at the given stage and bounds."""
+
+import os
+
+import pytest
+
+from tpu_ecm import driver, params
+from tpu_ecm.io import calc as _calc
+from tpu_ecm.io import savefile
+
+# P35 is prime; curve group orders searched offline with the int oracle:
+#   sigma=174: stage-1 hit at B1=300
+#   sigma=112: stage-2 hit (first prime 1361 in (300, 10000])
+P35 = 34359738421
+P36 = 68719476767
+N71 = P35 * P36
+
+
+def _cfg(tmp_path, **kw):
+    kw.setdefault("save_b1_path", str(tmp_path / "save_b1.txt"))
+    kw.setdefault("checkpoint_path", str(tmp_path / "checkpoint.txt"))
+    kw.setdefault("results_path", str(tmp_path / "ecm_results.txt"))
+    kw.setdefault("cache_dir", str(tmp_path / "cache"))
+    kw.setdefault("verbose", 0)
+    return driver.RunConfig(**kw)
+
+
+def test_stage1_finds_factor(tmp_path):
+    cfg = _cfg(tmp_path, n=N71, curves=4, b1=300, b2=300, sigma=172)
+    res = driver.ECMDriver(cfg).run()
+    assert any(h.factor == P35 and h.stage == 1 for h in res.factors), \
+        res.factors
+    hit = [h for h in res.factors if h.factor == P35][0]
+    assert hit.sigma == 174
+    # savefile written with all 4 curves, parseable, N is the input
+    with open(cfg.save_b1_path) as f:
+        recs = list(savefile.parse_records(f))
+    assert len(recs) == 4
+    assert all(r.n == N71 and r.b1 == 300 for r in recs)
+    # results log mentions the factor
+    assert str(P35) in open(cfg.results_path).read()
+
+
+def test_stage2_finds_factor(tmp_path):
+    cfg = _cfg(tmp_path, n=N71, curves=4, b1=300, b2=10000, sigma=110)
+    res = driver.ECMDriver(cfg).run()
+    assert any(h.factor == P35 and h.stage == 2 for h in res.factors), \
+        res.factors
+    hit = [h for h in res.factors if h.factor == P35][0]
+    assert hit.sigma == 112
+
+
+def test_stage1_residues_match_oracle(tmp_path):
+    """M127-style smoke (PR1 config): correctness by residue, not luck —
+    residues must equal the int-oracle stage-1 exactly."""
+    from tpu_ecm.curve import oracle, prac, suyama
+    from tpu_ecm.primes import primes_range
+    n = N71
+    b1 = 200
+    cfg = _cfg(tmp_path, n=n, curves=3, b1=b1, b2=b1, sigma=500)
+    res = driver.ECMDriver(cfg).run()
+    ctx = driver.prepare_context(n, verbose=0)
+    dom = oracle.IntDomain(ctx)
+    for (sigma, gx, gz) in res.stage1_residues:
+        ci = suyama.build_one_curve(ctx, sigma)
+        X, Z, s = ci.x_mont, ci.z_mont, ci.s_mont
+        for _ in range(prac.stage1_powers_of_two(b1)):
+            X, Z = oracle.xdbl_int(dom, X, Z, s)
+        for q in primes_range(3, b1).tolist():
+            q = int(q)
+            k = 1
+            while True:
+                tape = []
+                prac.prac_tape(q, tape)
+                X, Z = oracle.run_tape_int(ctx, tape, X, Z, s)[0]
+                k *= q
+                if k * q >= b1:
+                    break
+        assert gx == ctx.from_mont_int(X)
+        assert gz == ctx.from_mont_int(Z)
+
+
+def test_mersenne_e2e_residues(tmp_path):
+    """Mersenne-path driver run on a 2^e-1 cofactor: arithmetic done mod the
+    full Mersenne number (the vnhat trick), factor gcds vs the input."""
+    m101 = (1 << 101) - 1
+    f1, f2 = 7432339208719, 341117531003194129
+    assert f1 * f2 == m101
+    cfg = _cfg(tmp_path, n=m101, curves=2, b1=100, b2=100, sigma=900)
+    d = driver.ECMDriver(cfg)
+    assert d.ctx.is_mersenne and d.ctx.n_int == m101
+    res = d.run()
+    # residues are canonical mod the Mersenne modulus and nonzero
+    for sigma, x, z in res.stage1_residues:
+        assert 0 < x < m101 and 0 < z < m101
+
+
+def test_cli_expression_and_run(tmp_path, capsys, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from tpu_ecm.io import cli
+    rc = cli.main([str(N71), "2", "300", "0", "300", "174"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert str(P35) in out
+
+
+def test_calc_expressions():
+    assert _calc.calc("2^127-1") == (1 << 127) - 1
+    assert _calc.calc("fib(791)/13/677/216416017") == \
+        _calc._fib(791) // 13 // 677 // 216416017
+    assert _calc.calc("10# + 1") == 211
+    assert _calc.calc("11#") == 2310
+    assert _calc.calc("5!") == 120
+    assert _calc.calc("gcd(12, 18)") == 6
+    assert _calc.calc("modexp(2, 10, 1000)") == 24
+    assert _calc.calc("2^3^2") == 512          # right-assoc
+    assert _calc.calc("(2+3)*4") == 20
+    assert _calc.calc("1 << 10") == 1024
+    assert _calc.calc("sqrt(144)") == 12
+    assert _calc.calc("nroot(1000, 3)") == 10
+    assert _calc.calc("modinv(3, 7)") == 5
+    assert _calc.calc("jacobi(2, 7)") == 1
+    assert _calc.calc("luc(10)") == 123
+    assert _calc.calc("-5 + 3") == -2
+
+
+def test_checkpoint_written_between_chunks(tmp_path):
+    """Force tiny prime chunks so the mid-stage-1 checkpoint path runs."""
+    cfg = _cfg(tmp_path, n=N71, curves=2, b1=900, b2=900, sigma=500,
+               prime_chunk=300)
+    res = driver.ECMDriver(cfg).run()
+    assert os.path.exists(cfg.checkpoint_path)
+    with open(cfg.checkpoint_path) as f:
+        recs = list(savefile.parse_records(f))
+    # 2 chunks before the final one, 2 curves each
+    assert len(recs) >= 2
+    assert all(r.b1 < 900 for r in recs)

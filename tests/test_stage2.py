@@ -1,0 +1,147 @@
+"""Stage-2 planner and executor correctness: coverage audit (the reference's
+'testcoverage' self-check) and exact accumulator parity vs an int oracle."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_ecm import params
+from tpu_ecm.curve import oracle, suyama
+from tpu_ecm.limbs import jnp_ops, layout
+from tpu_ecm.primes import primes_range
+from tpu_ecm.stage2 import exec as s2exec
+from tpu_ecm.stage2 import plan as s2plan
+
+P61 = (1 << 61) - 1
+
+
+@pytest.mark.parametrize("b1,b2", [(300, 10000), (2000, 50000),
+                                   (10000, 200000)])
+def test_pairmap_covers_all_primes(b1, b2):
+    sp = s2plan.make_stage2_params(b1, b2)
+    primes = primes_range(b1, b2 + 1000)
+    map_v, map_u, amin0, stats = s2plan.pair(sp, primes, b1, b2)
+    missing = s2plan.audit_coverage(sp, map_v, map_u, amin0, primes, b1, b2)
+    assert missing == [], f"uncovered primes: {missing[:10]}"
+    assert 0.3 < stats["ratio"] <= 2.0
+
+
+def test_pairmap_chunked_coverage():
+    """Chunked planning (PRIME_RANGE protocol) still covers everything."""
+    b1, b2, chunk = 500, 40000, 13000
+    sp = s2plan.make_stage2_params(b1, b2)
+    lo = b1
+    while lo < b2:
+        hi = min(lo + chunk, b2)
+        primes = primes_range(lo, hi + 1000)
+        map_v, map_u, amin0, _ = s2plan.pair(sp, primes, lo, hi)
+        missing = s2plan.audit_coverage(sp, map_v, map_u, amin0,
+                                        primes, lo, hi)
+        assert missing == [], f"chunk {lo}:{hi} uncovered {missing[:5]}"
+        lo = hi
+
+
+def test_pair_indices_in_executor_range():
+    b1, b2 = 300, 30000
+    sp = s2plan.make_stage2_params(b1, b2)
+    primes = primes_range(b1, b2 + 1000)
+    map_v, map_u, amin0, _ = s2plan.pair(sp, primes, b1, b2)
+    amin = amin0
+    for v, u in zip(map_v.tolist(), map_u.tolist()):
+        if v == 0 and u == 0:
+            amin += sp.U
+            continue
+        pa = v - amin
+        assert 0 <= pa < 2 * sp.L
+        assert 1 <= u <= sp.umax
+        assert sp.rprime_map[u] > 0, f"unstored baby-step index u={u}"
+
+
+def test_host_batch_inverse():
+    from moduli import N256, P127
+    ctx = params.make_monty(N256)
+    import random
+    rng = random.Random(9)
+    vals = [rng.randrange(1, N256) for _ in range(20)]
+    vals[7] = P127 * 3        # non-invertible, factor P127
+    out, factors = s2exec.host_batch_inverse(ctx, vals)
+    assert factors == {7: P127}
+    r = ctx.p.R
+    for i, v in enumerate(vals):
+        if i == 7:
+            assert out[i] == 0
+            continue
+        # out = R^2 * v^-1: mont_mul(x, out) = x*out/R = x * R * v^-1
+        assert out[i] * v % N256 == (r * r) % N256 % N256 * 1 % N256 \
+            or (out[i] * v - r * r) % N256 == 0
+
+
+def test_stage2_executor_exact_vs_oracle():
+    """Full phase-2+3 on a prime modulus vs an exact integer replay of the
+    same pairmap: the accumulator value must match exactly."""
+    n = P61
+    b1, b2 = 300, 4000
+    ctx = params.make_monty(n)
+    dctx = jnp_ops.device_ctx(ctx)
+    sigmas = [40, 41, 42, 43]
+    curves = [suyama.build_one_curve(ctx, s) for s in sigmas]
+    dom = oracle.IntDomain(ctx)
+
+    # stage-1 to B1 with the int oracle, then feed the device from there
+    from tpu_ecm.curve import prac
+    s1 = []
+    for c in curves:
+        X, Z, s = c.x_mont, c.z_mont, c.s_mont
+        for _ in range(prac.stage1_powers_of_two(b1)):
+            X, Z = oracle.xdbl_int(dom, X, Z, s)
+        for q in primes_range(3, b1).tolist():
+            q = int(q)
+            k = 1
+            while True:
+                tape = []
+                prac.prac_tape(q, tape)
+                X, Z = oracle.run_tape_int(ctx, tape, X, Z, s)[0]
+                k *= q
+                if k * q >= b1:
+                    break
+        s1.append((X, Z, s))
+
+    p = ctx.p
+    pt = np.zeros((2, p.nw, len(curves)), dtype=np.int32)
+    pt[0] = layout.pack_batch([t[0] for t in s1], p.w, p.nw)
+    pt[1] = layout.pack_batch([t[1] for t in s1], p.w, p.nw)
+    s_const = jnp.asarray(layout.pack_batch([t[2] for t in s1], p.w, p.nw))
+
+    sp = s2plan.make_stage2_params(b1, b2)
+    runner = s2exec.Stage2Runner(ctx, dctx, sp, jnp.asarray(pt), s_const, b1)
+    runner.init()
+    primes = primes_range(b1, b2 + 1000)
+    map_v, map_u, amin0, _ = s2plan.pair(sp, primes, b1, b2)
+    runner.run_chunk(map_v, map_u, amin0)
+    res = runner.result()
+
+    # integer oracle replay: product of (x_a - x_b) over all pair entries
+    rinv = pow(p.R, -1, n)
+    for i, (X, Z, s) in enumerate(s1):
+
+        def affine(k):
+            xk, zk = oracle.ladder_int(dom, X, Z, s, k)
+            return xk * rinv % n * pow(zk * rinv % n, -1, n) % n
+
+        amin = amin0
+        acc = 1
+        cache = {}
+        for v, u in zip(map_v.tolist(), map_u.tolist()):
+            if v == 0 and u == 0:
+                amin += sp.U
+                continue
+            m = (v + amin) * sp.D
+            if m not in cache:
+                cache[m] = affine(m)
+            if u not in cache:
+                cache[u] = affine(u)
+            acc = acc * (cache[m] - cache[u]) % n
+        assert res.acc[i] == acc, f"curve {i}: stage-2 accumulator mismatch"
+    assert res.paired == int(np.sum(~((map_v == 0) & (map_u == 0))))

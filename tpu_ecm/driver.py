@@ -1,0 +1,259 @@
+"""The ECM driver: batch loop over curve construction, stage 1, checkpoints,
+and stage 2 — the vececm equivalent (/root/reference/ecm.c:1077-1544).
+
+Phase structure per batch of B curves (B = the sharded tensor axis replacing
+VECLEN lanes x threads):
+
+  phase 0  build curves        host Suyama from sigma  (ecm.c:1548)
+  phase 1  stage 1             device tape scans per prime chunk, with
+                               GMP-ECM-format checkpoint.txt between chunks
+                               (ecm.c:1236-1312) and save_b1.txt at the end
+                               (ecm.c:1319-1388)
+  phase 2  stage 2 init        device Pb table + batched inversion
+  phase 3  stage 2 pairing     host pair() plan per chunk, device replay
+  harvest  gcd checks          host, against the original input
+                               (ecm.c:1485-1528, check_factor ecm.c:2542)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from . import params as _params
+from . import stage1 as _stage1
+from .curve import suyama
+from .io import savefile
+from .limbs import jnp_ops, layout
+from .primes import PrimeStream
+from .stage2 import exec as s2exec
+from .stage2 import plan as s2plan
+from .utils import rng as _rng
+
+
+@dataclasses.dataclass
+class RunConfig:
+    n: int                       # the number to factor (already calc()ed)
+    curves: int
+    b1: int
+    b2: Optional[int] = None     # None -> 100*B1; <= B1 -> stage 1 only
+    sigma: int = 0               # 0 -> random sigmas
+    batch: Optional[int] = None  # curves per device batch (None: all curves)
+    do_stage2: bool = True
+    save_b1_path: Optional[str] = "save_b1.txt"
+    checkpoint_path: Optional[str] = "checkpoint.txt"
+    results_path: Optional[str] = "ecm_results.txt"
+    verbose: int = 1
+    cache_dir: Optional[str] = ".cache/tpu_ecm"
+    force_no_mersenne: bool = False
+    stop_on_factor: bool = True
+    sharder: Optional[object] = None   # parallel.mesh.Sharder
+    prime_chunk: Optional[int] = None
+
+
+@dataclasses.dataclass
+class FactorHit:
+    factor: int
+    stage: int
+    curve: int
+    sigma: int
+    is_prp: bool
+
+
+@dataclasses.dataclass
+class RunResult:
+    n: int
+    work_modulus: int
+    factors: List[FactorHit]
+    curves_run: int
+    stage1_residues: List[Tuple[int, int, int]]  # (sigma, X, Z) canonical
+    timings: Dict[str, float]
+    counters: Dict[str, int]
+
+
+def prepare_context(n: int, force_no_mersenne: bool = False,
+                    verbose: int = 1) -> _params.MontyCtx:
+    """Mersenne detection + density rule + algebraic-factor stripping, then
+    context construction (mirrors /root/reference/main.c:405-527)."""
+    work_n = n
+    mers = None if force_no_mersenne else _params.detect_mersenne(n)
+    if mers is not None:
+        e, c = mers
+        if abs(c) == 1:
+            g = _params.strip_algebraic_factors(n, e, c)
+            if g not in (0, 1) and g != n:
+                if verbose:
+                    cofactor = n // math.gcd(n, g)
+                    print(f"removing algebraic "
+                          f"{savefile.classify_factor(cofactor)} factor "
+                          f"{cofactor}")
+                work_n = math.gcd(n, g)
+        if not _params.mersenne_density_ok(work_n, e):
+            if verbose:
+                print(f"Mersenne input 2^{e} determined to be faster by REDC")
+            mers = None
+        # pseudo-Mersenne c must leave fold headroom at our radix
+        elif c not in (1, -1):
+            w, _ = _params.select_radix(e)
+            if e <= 2 * abs(c).bit_length() + 2 * w + 16:
+                mers = None
+    if mers is not None and verbose:
+        e, c = mers
+        kind = {1: f"2^{e}-1", -1: f"2^{e}+1"}.get(c, f"2^{e}-{c}")
+        print(f"Using special Mersenne mod for factor of: {kind}")
+    return _params.make_monty(work_n, mersenne=mers)
+
+
+def check_factor(z: int, n: int) -> Optional[int]:
+    """gcd harvest (/root/reference/ecm.c:2542-2557): a factor in (1, n)."""
+    g = math.gcd(z % n, n)
+    if 1 < g < n:
+        return g
+    return None
+
+
+class ECMDriver:
+    def __init__(self, cfg: RunConfig):
+        self.cfg = cfg
+        if cfg.b2 is None:
+            self.b2 = 100 * cfg.b1
+            self.do_stage2 = cfg.do_stage2
+        else:
+            self.b2 = cfg.b2
+            self.do_stage2 = cfg.do_stage2 and cfg.b2 > cfg.b1
+        self.ctx = prepare_context(cfg.n, cfg.force_no_mersenne, cfg.verbose)
+        self.dctx = jnp_ops.device_ctx(self.ctx)
+        self.stream = PrimeStream(cfg.prime_chunk or PrimeStream().chunk)
+        seed = _rng.hash64(int(time.time() * 1e6) & ((1 << 64) - 1))
+        self.sigma_gen = _rng.SigmaGen(cfg.sigma, seed)
+        self.factors: List[FactorHit] = []
+        self.timings: Dict[str, float] = {}
+        self.counters: Dict[str, int] = {}
+
+    # ------------------------------------------------------------------
+
+    def _report_factor(self, f: int, stage: int, curve_idx: int, sigma: int,
+                       bound: int):
+        if any(h.factor == f and h.sigma == sigma for h in self.factors):
+            return
+        hit = FactorHit(factor=f, stage=stage, curve=curve_idx, sigma=sigma,
+                        is_prp=savefile.classify_factor(f).startswith("PRP"))
+        self.factors.append(hit)
+        savefile.log_factor(self.cfg.results_path, f, stage, bound,
+                            curve_idx, 0, curve_idx, sigma,
+                            echo=self.cfg.verbose >= 1)
+
+    def _check_batch(self, vals: List[int], sigmas: List[int], stage: int,
+                     bound: int, base_idx: int):
+        for i, (z, s) in enumerate(zip(vals, sigmas)):
+            f = check_factor(z, self.ctx.input_n)
+            if f:
+                self._report_factor(f, stage, base_idx + i, s, bound)
+
+    def _write_save(self, path: Optional[str], sigmas: List[int],
+                    xs: List[int], zs: List[int], b1_label: int):
+        if not path:
+            return
+        n_out = self.ctx.input_n
+        recs = [savefile.SaveRecord(sigma=s, b1=b1_label, n=n_out, x=x, z=z)
+                for s, x, z in zip(sigmas, xs, zs)]
+        savefile.append_records(path, recs)
+
+    # ------------------------------------------------------------------
+
+    def run_batch(self, sigmas: List[int], base_idx: int) -> List[Tuple[int, int, int]]:
+        cfg, ctx = self.cfg, self.ctx
+        t0 = time.time()
+        curves = []
+        for s in sigmas:
+            try:
+                curves.append(suyama.build_one_curve(ctx, s))
+            except suyama.FactorFoundDuringBuild as e:
+                if e.factor:
+                    self._report_factor(e.factor, 0, base_idx, s, cfg.b1)
+                # keep batch shape: substitute a fresh sigma
+                curves.append(suyama.build_one_curve(ctx, s + 1_000_003))
+        state = _stage1.init_state(
+            ctx, [c.x_mont for c in curves], [c.z_mont for c in curves],
+            [c.s_mont for c in curves], sharder=cfg.sharder)
+        self.timings["build"] = self.timings.get("build", 0) + time.time() - t0
+
+        # ---- stage 1 ----
+        t0 = time.time()
+        for chunk, state in _stage1.run_stage1(
+                state, self.dctx, cfg.b1, self.stream,
+                cache_dir=cfg.cache_dir):
+            if not chunk.is_final:
+                # mid-stage-1 checkpoint (/root/reference/ecm.c:1236-1312)
+                xs, zs = _stage1.extract_point(state, ctx)
+                self._check_batch(zs, sigmas, 1, chunk.last_prime, base_idx)
+                self._write_save(cfg.checkpoint_path, sigmas, xs, zs,
+                                 chunk.last_prime)
+        xs, zs = _stage1.extract_point(state, ctx)
+        self.timings["stage1"] = (self.timings.get("stage1", 0)
+                                  + time.time() - t0)
+        self._check_batch(zs, sigmas, 1, cfg.b1, base_idx)
+        self._write_save(cfg.save_b1_path, sigmas, xs, zs, cfg.b1)
+        residues = [(s, x, z) for s, x, z in zip(sigmas, xs, zs)]
+
+        # ---- stage 2 ----
+        if self.do_stage2:
+            t0 = time.time()
+            sp = s2plan.make_stage2_params(cfg.b1, self.b2)
+            runner = s2exec.Stage2Runner(ctx, self.dctx, sp,
+                                         state.pts[0], state.s_const,
+                                         cfg.b1, verbose=cfg.verbose >= 2)
+            runner.init()
+            self.timings["stage2_init"] = (self.timings.get("stage2_init", 0)
+                                           + time.time() - t0)
+            t0 = time.time()
+            for lo, hi, primes in self.stream.chunks(cfg.b1, self.b2):
+                map_v, map_u, amin0, stats = s2plan.pair(
+                    sp, primes, lo, min(hi, self.b2),
+                    verbose=cfg.verbose >= 2)
+                runner.run_chunk(map_v, map_u, amin0)
+            res = runner.result()
+            self.timings["stage2"] = (self.timings.get("stage2", 0)
+                                      + time.time() - t0)
+            self.counters["paired"] = (self.counters.get("paired", 0)
+                                       + res.paired)
+            self.counters["ptadds"] = (self.counters.get("ptadds", 0)
+                                       + res.ptadds)
+            self.counters["numinv"] = (self.counters.get("numinv", 0)
+                                       + res.numinv)
+            for i, f in res.factors.items():
+                if f:
+                    self._report_factor(f, 2, base_idx + i, sigmas[i], self.b2)
+            self._check_batch(res.acc, sigmas, 2, self.b2, base_idx)
+        return residues
+
+    # ------------------------------------------------------------------
+
+    def run(self) -> RunResult:
+        cfg = self.cfg
+        total = cfg.curves
+        batch = cfg.batch or total
+        residues: List[Tuple[int, int, int]] = []
+        done = 0
+        while done < total:
+            b = min(batch, total - done)
+            sigmas = [self.sigma_gen.next() for _ in range(b)]
+            if cfg.verbose:
+                print(f"Commencing curves {done}-{done + b - 1} of {total}")
+            residues += self.run_batch(sigmas, done)
+            done += b
+            if self.factors and cfg.stop_on_factor:
+                break
+        return RunResult(n=cfg.n, work_modulus=self.ctx.n_int,
+                         factors=self.factors, curves_run=done,
+                         stage1_residues=residues, timings=dict(self.timings),
+                         counters=dict(self.counters))
+
+
+def run_ecm(n: int, curves: int, b1: int, **kw) -> RunResult:
+    cfg = RunConfig(n=n, curves=curves, b1=b1, **kw)
+    return ECMDriver(cfg).run()

@@ -1,0 +1,59 @@
+"""Positional CLI compatible with the reference:
+
+    avx-ecm-tpu <input> <numcurves> <B1> [batch/shards] [B2] [sigma]
+
+(/root/reference/main.c:380-384; the reference's [threads] argument maps to
+the device batch here — parallelism is the sharded curve axis, not pthreads).
+<input> may be an integer expression (io/calc.py), e.g.
+"fib(791)/13/677/216416017" or "2^127-1".
+"""
+
+from __future__ import annotations
+
+import sys
+
+from .. import driver
+from . import calc as _calc
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if len(argv) < 3:
+        print("usage: avx-ecm-tpu $input $numcurves $B1 [$batch] [$B2] [$sigma]")
+        return 1
+    n = _calc.calc(argv[0])
+    curves = int(argv[1])
+    b1 = int(float(argv[2]))
+    batch = int(argv[3]) if len(argv) >= 4 and int(argv[3]) > 0 else None
+    b2 = None
+    if len(argv) >= 5:
+        b2 = int(float(argv[4]))
+    sigma = int(argv[5]) if len(argv) >= 6 else 0
+
+    print(f"commencing parallel ecm on {n}")
+    cfg = driver.RunConfig(n=n, curves=curves, b1=b1, b2=b2, sigma=sigma,
+                           batch=batch)
+    result = driver.ECMDriver(cfg).run()
+    if result.factors:
+        for h in result.factors:
+            kind = "PRP" if h.is_prp else "C"
+            print(f"final: {kind}{len(str(h.factor))} factor {h.factor} "
+                  f"(stage {h.stage}, sigma {h.sigma})")
+        cof = result.n
+        for h in {h.factor for h in result.factors}:
+            while cof % h == 0:
+                cof //= h
+        if cof > 1:
+            print(f"cofactor: {savefileclass(cof)} {cof}")
+    print(f"ran {result.curves_run} curves; timings: "
+          + ", ".join(f"{k}={v:.2f}s" for k, v in result.timings.items()))
+    return 0
+
+
+def savefileclass(x: int) -> str:
+    from .savefile import classify_factor
+    return classify_factor(x)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
