@@ -1,0 +1,55 @@
+"""Pallas tape-executor parity: interpret mode must be bit-identical to the
+jnp path (which is itself oracle-verified)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moduli import N256
+from tpu_ecm import params
+from tpu_ecm.curve import ops, prac, suyama
+from tpu_ecm.limbs import jnp_ops, layout, pallas_ops
+from tpu_ecm.primes import primes_range
+
+import jax
+
+
+def _setup(ctx, b, b1):
+    curves = [suyama.build_one_curve(ctx, 100 + i) for i in range(b)]
+    p = ctx.p
+    pts = np.zeros((ops.NUM_SLOTS, 2, p.nw, b), dtype=np.int32)
+    pts[0, 0] = layout.pack_batch([c.x_mont for c in curves], p.w, p.nw)
+    pts[0, 1] = layout.pack_batch([c.z_mont for c in curves], p.w, p.nw)
+    s_const = layout.pack_batch([c.s_mont for c in curves], p.w, p.nw)
+    tape = prac.stage1_tape(primes_range(0, b1), b1)
+    return pts, s_const, tape
+
+
+@pytest.mark.parametrize("n,mers", [(N256, None),
+                                    ((1 << 127) - 1, (127, 1))])
+def test_pallas_executor_bitexact(n, mers):
+    ctx = params.make_monty(n, mersenne=mers)
+    dctx = jnp_ops.device_ctx(ctx)
+    b = 128
+    pts, s_const, tape = _setup(ctx, b, 120)
+    ref = np.asarray(jax.jit(ops.run_tape)(
+        jnp.asarray(pts), jnp.asarray(tape), jnp.asarray(s_const), dctx))
+    run = pallas_ops.make_tape_executor(ctx, b, chunk=64, interpret=True)
+    got = np.asarray(run(jnp.asarray(pts), jnp.asarray(tape),
+                         jnp.asarray(s_const)))
+    np.testing.assert_array_equal(got[0], ref[0])
+
+
+def test_nop_padding_is_identity():
+    ctx = params.make_monty(N256)
+    b = 128
+    pts, s_const, tape = _setup(ctx, b, 30)
+    run = pallas_ops.make_tape_executor(ctx, b, chunk=256, interpret=True)
+    # chunk=256 forces NOP padding beyond the short tape
+    got = np.asarray(run(jnp.asarray(pts), jnp.asarray(tape),
+                         jnp.asarray(s_const)))
+    run2 = pallas_ops.make_tape_executor(ctx, b, chunk=len(tape),
+                                         interpret=True)
+    got2 = np.asarray(run2(jnp.asarray(pts), jnp.asarray(tape),
+                           jnp.asarray(s_const)))
+    np.testing.assert_array_equal(got[0], got2[0])

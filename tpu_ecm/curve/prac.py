@@ -229,12 +229,23 @@ def stage1_powers_of_two(b1: int) -> int:
     return k
 
 
-def stage1_tape(primes: Sequence[int], b1: int, *, include_two: bool = True
-                ) -> np.ndarray:
+def stage1_tape(primes: Sequence[int], b1: int, *, include_two: bool = True,
+                allow_native: bool = True) -> np.ndarray:
     """Full stage-1 tape: leading 2^k doublings (if include_two), then for
     each odd prime p <= primes in the list, PRAC(p) repeated per the prime-
     power rule `do {prac} while (c*q) < B1` (/root/reference/ecm.c:1824-1843).
+
+    Dispatches to the C++ planner (tpu_ecm/native/planner.cpp, bit-identical
+    output) when available.
     """
+    if allow_native:
+        try:
+            from ..native import lib as _native
+            if _native.available():
+                return _native.stage1_tape(np.asarray(primes, np.uint64),
+                                           b1, include_two)
+        except Exception:
+            pass
     ops: List[Tuple[int, int, int, int, int]] = []
     if include_two:
         for _ in range(stage1_powers_of_two(b1)):

@@ -53,6 +53,7 @@ class RunConfig:
     stop_on_factor: bool = True
     sharder: Optional[object] = None   # parallel.mesh.Sharder
     prime_chunk: Optional[int] = None
+    use_pallas: Optional[bool] = None  # None: auto (TPU yes, CPU no)
 
 
 @dataclasses.dataclass
@@ -128,6 +129,16 @@ class ECMDriver:
         self.ctx = prepare_context(cfg.n, cfg.force_no_mersenne, cfg.verbose)
         self.dctx = jnp_ops.device_ctx(self.ctx)
         self.stream = PrimeStream(cfg.prime_chunk or PrimeStream().chunk)
+        import jax
+        if cfg.cache_dir:
+            try:
+                jax.config.update("jax_compilation_cache_dir",
+                                  cfg.cache_dir + "/jax")
+            except Exception:
+                pass
+        self.use_pallas = (cfg.use_pallas if cfg.use_pallas is not None
+                           else jax.default_backend() != "cpu")
+        self._executors: Dict[int, object] = {}
         seed = _rng.hash64(int(time.time() * 1e6) & ((1 << 64) - 1))
         self.sigma_gen = _rng.SigmaGen(cfg.sigma, seed)
         self.factors: List[FactorHit] = []
@@ -165,6 +176,21 @@ class ECMDriver:
 
     # ------------------------------------------------------------------
 
+    def _tape_runner(self, batch: int):
+        """Stage-1 tape executor: Pallas mega-kernel on TPU (state resident
+        in VMEM per chunk), jnp scan elsewhere; both bit-identical."""
+        if not (self.use_pallas and batch % 128 == 0):
+            return None  # stage1 falls back to the jitted jnp scan
+        if batch not in self._executors:
+            from .limbs import pallas_ops
+            run = pallas_ops.make_tape_executor(self.ctx, batch)
+
+            def runner(pts, tape, s_const, dctx):
+                return run(pts, tape, s_const)
+
+            self._executors[batch] = runner
+        return self._executors[batch]
+
     def run_batch(self, sigmas: List[int], base_idx: int) -> List[Tuple[int, int, int]]:
         cfg, ctx = self.cfg, self.ctx
         t0 = time.time()
@@ -184,9 +210,10 @@ class ECMDriver:
 
         # ---- stage 1 ----
         t0 = time.time()
+        run_tape = self._tape_runner(len(sigmas))
         for chunk, state in _stage1.run_stage1(
                 state, self.dctx, cfg.b1, self.stream,
-                cache_dir=cfg.cache_dir):
+                cache_dir=cfg.cache_dir, run_tape=run_tape):
             if not chunk.is_final:
                 # mid-stage-1 checkpoint (/root/reference/ecm.c:1236-1312)
                 xs, zs = _stage1.extract_point(state, ctx)
@@ -237,6 +264,14 @@ class ECMDriver:
         cfg = self.cfg
         total = cfg.curves
         batch = cfg.batch or total
+        if self.use_pallas:
+            # round the device batch to full 128-lane tiles (the reference
+            # rounds curves up to threads*VECLEN, /root/reference/main.c:585)
+            batch = ((batch + 127) // 128) * 128
+            total = ((total + 127) // 128) * 128
+        if cfg.sharder is not None:
+            batch = cfg.sharder.round_batch(batch)
+            total = cfg.sharder.round_batch(total)
         residues: List[Tuple[int, int, int]] = []
         done = 0
         while done < total:

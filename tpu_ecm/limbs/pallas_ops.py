@@ -1,0 +1,260 @@
+"""Pallas/Mosaic kernels for the hot path: Montgomery mulmod and the
+ADD/DUP tape executor with curve state resident in VMEM.
+
+Design (measured on TPU v5e, see BENCH_NOTES.md):
+
+* The jnp ops (jnp_ops.py) under a multi-million-step lax.scan are dispatch-
+  and latency-bound (~360us/step).  Here an entire tape chunk executes
+  inside one kernel: per-step cost is the arithmetic itself.
+* Layout [NW, Bs, 128]: the batch axis is split so every *digit row* is a
+  stack of full 8x128 vregs.  All product/REDC updates are full-tile FMAs
+  with zero sublane/lane shuffles — the TPU answer to the reference's
+  zmm-register choreography (/root/reference/vecarith52.c:2438-3074).
+* The modulus digits and nprime are baked in as compile-time scalars (one
+  modulus per run, same as the reference's single monty context).
+* The instruction tape rides in SMEM via PrefetchScalarGridSpec; the point
+  register file [S, 2, NW, Bs, 128] stays in VMEM across the whole chunk
+  via input/output aliasing; an outer lax.scan feeds consecutive chunks.
+
+Semantics are bit-identical to jnp_ops/curve.ops (tested in interpret mode
+and cross-checked against the int oracle).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import ArithParams, MontyCtx
+from .. import params as _params
+from . import layout as _layout
+
+OP_DUP = 0
+OP_ADD = 1
+OP_NOP = 2
+NUM_SLOTS = 6
+LANE = 128
+
+
+# ---------------------------------------------------------------------------
+# in-kernel arithmetic on [NW, Bs, 128] values
+# ---------------------------------------------------------------------------
+
+def _make_arith(ctx: MontyCtx):
+    """Build (mulmod, sqrmod) on [NW, Bs, 128] values, fully statically
+    unrolled: every product column is one (stack of) vreg(s), every update a
+    full-tile FMA with a scalar or tile operand — no dynamic slicing, no
+    shuffles.  Modulus digits are compile-time int scalars."""
+    p = ctx.p
+    nw, w = p.nw, p.w
+    mask = p.mask
+    n_dig = [int(x) for x in _layout.int_to_digits(ctx.n_int, w, nw)]
+
+    def lazy_list(cols, passes=2):
+        for _ in range(passes):
+            out = [jnp.bitwise_and(c, mask) for c in cols[:-1]] + [cols[-1]]
+            for j in range(1, len(cols)):
+                out[j] = out[j] + jnp.right_shift(cols[j - 1], w)
+            cols = out
+        return cols
+
+    def product_cols(a, b):
+        ar = [a[i] for i in range(nw)]
+        br = [b[j] for j in range(nw)]
+        cols = [None] * (2 * nw)
+        for i in range(nw):
+            for j in range(nw):
+                k = i + j
+                t = ar[i] * br[j]
+                cols[k] = t if cols[k] is None else cols[k] + t
+        cols[2 * nw - 1] = jnp.zeros_like(cols[0])
+        return cols
+
+    def square_cols(a):
+        ar = [a[i] for i in range(nw)]
+        cols = [None] * (2 * nw)
+        for i in range(nw):
+            for j in range(i + 1, nw):
+                k = i + j
+                t = ar[i] * ar[j]
+                cols[k] = t if cols[k] is None else cols[k] + t
+        zero = jnp.zeros_like(ar[0])
+        cols = [zero if c is None else c + c for c in cols]
+        for i in range(nw):
+            cols[2 * i] = cols[2 * i] + ar[i] * ar[i]
+        return cols
+
+    if ctx.is_mersenne:
+        e, c = ctx.mersenne_e, ctx.mersenne_c
+        k0, s_bits = divmod(e, w)
+        cabs = abs(c)
+        c_dig = [int(x) for x in _layout.int_to_digits(
+            cabs, w, max(1, (cabs.bit_length() + w - 1) // w))]
+        sign = 1 if c > 0 else -1
+
+        def fold_list(cols, out_rows):
+            rows = len(cols)
+            zero = jnp.zeros_like(cols[0])
+            if s_bits > 0:
+                hi = [jnp.right_shift(cols[k0 + j], s_bits)
+                      + (jnp.left_shift(jnp.bitwise_and(cols[k0 + j + 1],
+                                                        (1 << s_bits) - 1),
+                                        w - s_bits)
+                         if k0 + j + 1 < rows else zero)
+                      for j in range(rows - k0)]
+                lo = (cols[:k0] + [jnp.bitwise_and(cols[k0],
+                                                   (1 << s_bits) - 1)])
+            else:
+                hi = cols[k0:]
+                lo = cols[:k0]
+            acc = lo + [zero] * (out_rows - len(lo))
+            for l, cl in enumerate(c_dig):
+                for j in range(min(len(hi), out_rows - l)):
+                    t = cl * hi[j]
+                    acc[l + j] = acc[l + j] + (-t if sign < 0 else t)
+            return acc
+
+        def reduce_cols(cols):
+            cols = lazy_list(cols)
+            cols = fold_list(cols, len(cols))
+            cols = lazy_list(cols)
+            cols = fold_list(cols, len(cols))
+            cols = lazy_list(cols)
+            cols = fold_list(cols, nw)
+            return jnp.stack(lazy_list(cols))
+    else:
+        nprime = ctx.nprime
+
+        def reduce_cols(cols):
+            for i in range(nw):
+                q = jnp.bitwise_and(cols[i] * nprime, mask)
+                for j in range(nw):
+                    if n_dig[j]:
+                        cols[i + j] = cols[i + j] + q * n_dig[j]
+                cols[i + 1] = cols[i + 1] + jnp.right_shift(cols[i], w)
+            return jnp.stack(lazy_list(cols[nw:2 * nw]))
+
+    def mulmod(a, b):
+        return reduce_cols(product_cols(a, b))
+
+    def sqrmod(a):
+        return reduce_cols(square_cols(a))
+
+    return mulmod, sqrmod
+
+
+# ---------------------------------------------------------------------------
+# tape executor kernel
+# ---------------------------------------------------------------------------
+
+def _tape_kernel(ctx: MontyCtx, tape_ref, pts_in, s_in, pts_out):
+    mulmod, sqrmod = _make_arith(ctx)
+
+    pts_out[...] = pts_in[...]
+    s_const = s_in[...]
+    nsteps = tape_ref.shape[0]
+
+    def xdbl(X, Z):
+        s_, d_ = X + Z, X - Z
+        v = sqrmod(d_)
+        u = sqrmod(s_)
+        x2 = mulmod(u, v)
+        w_ = u - v
+        t = mulmod(w_, s_const)
+        z2 = mulmod(t + v, w_)
+        return jnp.stack([x2, z2])
+
+    def xadd(pa, pb, pd):
+        s1, d1 = pa[0] + pa[1], pa[0] - pa[1]
+        s2, d2 = pb[0] + pb[1], pb[0] - pb[1]
+        u = mulmod(d1, s2)
+        v = mulmod(s1, d2)
+        t1 = sqrmod(u + v)
+        t2 = sqrmod(u - v)
+        return jnp.stack([mulmod(t1, pd[1]), mulmod(t2, pd[0])])
+
+    def step(k, _):
+        op = tape_ref[k, 0]
+        dst = tape_ref[k, 1]
+        ia, ib, ic = tape_ref[k, 2], tape_ref[k, 3], tape_ref[k, 4]
+        pa = pts_out[ia]
+
+        def do_dup(_):
+            return xdbl(pa[0], pa[1])
+
+        def do_add(_):
+            return xadd(pa, pts_out[ib], pts_out[ic])
+
+        def do_nop(_):
+            return pa
+
+        newpt = jax.lax.switch(op, [do_dup, do_add, do_nop], None)
+        pts_out[dst] = newpt
+        return 0
+
+    jax.lax.fori_loop(0, nsteps, step, 0)
+
+
+def make_tape_executor(ctx: MontyCtx, batch: int, chunk: int = 1024,
+                       interpret: bool = False):
+    """Returns run(pts [S,2,NW,B], tape [T,5], s_const [NW,B]) -> pts.
+
+    The tape is padded to a multiple of `chunk` with NOP entries and executed
+    as an outer lax.scan over per-chunk pallas_calls; curve state round-trips
+    HBM only at chunk boundaries.
+    """
+    p = ctx.p
+    nw = p.nw
+    assert batch % LANE == 0, f"batch {batch} must be a multiple of {LANE}"
+    bs = batch // LANE
+
+    kern = functools.partial(_tape_kernel, ctx)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # pts
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # s_const
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+
+    call = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NUM_SLOTS, 2, nw, bs, LANE),
+                                       jnp.int32),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    @jax.jit
+    def run(pts, tape, s_const):
+        pts5 = pts.reshape(NUM_SLOTS, 2, nw, bs, LANE)
+        s5 = s_const.reshape(nw, bs, LANE)
+        t = tape.shape[0]
+        npad = (-t) % chunk
+        if npad:
+            nop = jnp.tile(jnp.asarray([[OP_NOP, NUM_SLOTS - 1, 0, 0, 0]],
+                                       jnp.int32), (npad, 1))
+            tape_p = jnp.concatenate([tape, nop], axis=0)
+        else:
+            tape_p = tape
+        chunks = tape_p.reshape(-1, chunk, 5)
+
+        def body(pts5, tchunk):
+            return call(tchunk, pts5, s5), None
+
+        pts5, _ = jax.lax.scan(body, pts5, chunks)
+        return pts5.reshape(NUM_SLOTS, 2, nw, batch)
+
+    return run

@@ -40,7 +40,7 @@ def small_primes(limit: int) -> np.ndarray:
     sieve = np.ones(limit // 2, dtype=bool)   # odds: index i -> 2i+1
     sieve[0] = False                          # 1
     for i in range(1, (int(limit ** 0.5) + 1) // 2 + 1):
-        if sieve[i]:
+        if i < sieve.size and sieve[i]:
             p = 2 * i + 1
             start = (p * p) // 2
             if start < sieve.size:

@@ -157,15 +157,25 @@ def _pa_extend(carry_pts, pd, s_const, count_arr, dctx: DeviceCtx):
 
 @jax.jit
 def _replay_segment(acc, pa_inv_ext, pbx, idx, dctx: DeviceCtx):
-    """acc *= prod over entries (Pa_inv[pa] - PbX[pb]); idx [T, 2] int32.
-    Entry (K, 0) with pa_inv_ext[K] = one and pbx[0] = 0 is a no-op pad."""
+    """acc *= prod over entries (Pa_inv[pa] - PbX[pb]); idx [T, 2] int32
+    with T a power of two.  Entry (K, 0) with pa_inv_ext[K] = one and
+    pbx[0] = 0 is a no-op pad.
 
-    def step(acc, e):
-        tt = jnp.take(pa_inv_ext, e[0], axis=0) - jnp.take(pbx, e[1], axis=0)
-        return jnp_ops.mulmod(acc, tt, dctx), None
-
-    acc, _ = jax.lax.scan(step, acc, idx)
-    return acc
+    The cross products (CROSS_PRODUCT_INV, /root/reference/ecm.c:1857-1859)
+    are data-parallel: bulk-gather all operands, take the elementwise
+    difference, and multiply them together with a log-depth tree of
+    vmapped mulmods — every level is one large batched VPU op instead of a
+    latency-bound sequential scan."""
+    pa_rows = jnp.take(pa_inv_ext, idx[:, 0], axis=0)   # [T, NW, B]
+    pb_rows = jnp.take(pbx, idx[:, 1], axis=0)
+    vals = pa_rows - pb_rows
+    vm = jax.vmap(lambda a, b: jnp_ops.mulmod(a, b, dctx))
+    t = vals.shape[0]
+    while t > 1:
+        half = t // 2
+        vals = vm(vals[:half], vals[half:t])
+        t = half
+    return jnp_ops.mulmod(acc, vals[0], dctx)
 
 
 def _run_ladder(pt, s_const, k: int, dctx: DeviceCtx, run_tape):
@@ -303,17 +313,24 @@ class Stage2Runner:
                 assert (pb_idx[seg_u > 0] > 0).all()
                 idx = np.stack([pa_idx, pb_idx.astype(np.int64)],
                                axis=1).astype(np.int32)
-                # pad to next power of two with no-op entries (2L, 0)
-                t = idx.shape[0]
-                tpad = 1 << (t - 1).bit_length()
-                if tpad > t:
-                    pad = np.tile(np.array([[2 * sp.L, 0]], dtype=np.int32),
-                                  (tpad - t, 1))
-                    idx = np.concatenate([idx, pad], axis=0)
                 pa_inv_ext = jnp.concatenate(
                     [self.pa_inv, self.one_plane[None]], axis=0)
-                self.acc = _replay_segment(self.acc, pa_inv_ext, self.pbx,
-                                           jnp.asarray(idx), self.dctx)
+                # slice into <=512-entry blocks, each padded to a power of
+                # two with no-op entries (one - 0); bounds memory and the
+                # number of compiled tree shapes
+                t = idx.shape[0]
+                for lo in range(0, t, 512):
+                    blk = idx[lo:lo + 512]
+                    tb = blk.shape[0]
+                    tpad = 1 << max(0, (tb - 1).bit_length())
+                    if tpad > tb:
+                        pad = np.tile(
+                            np.array([[2 * sp.L, 0]], dtype=np.int32),
+                            (tpad - tb, 1))
+                        blk = np.concatenate([blk, pad], axis=0)
+                    self.acc = _replay_segment(self.acc, pa_inv_ext,
+                                               self.pbx, jnp.asarray(blk),
+                                               self.dctx)
                 self.paired += int(t)
             if b_idx < map_v.shape[0]:
                 self._shift_window()

@@ -88,13 +88,29 @@ def make_stage2_params(b1: int, b2: int) -> Stage2Params:
 
 
 def pair(sp: Stage2Params, primes: Sequence[int], b1: int, b2: int,
-         verbose: bool = False) -> Tuple[np.ndarray, np.ndarray, int, dict]:
+         verbose: bool = False, allow_native: bool = True
+         ) -> Tuple[np.ndarray, np.ndarray, int, dict]:
     """Montgomery PAIR: primes in [b1, b2) -> (pairmap_v, pairmap_u, amin0, stats).
 
     Returns uint32 arrays; entry (0,0) is the window-shift sentinel.  amin
     for the executor starts at (b1 + w) // (2w) (the b1 here is the *chunk*
     start, matching the per-chunk call at /root/reference/ecm.c:1449-1451).
+    Dispatches to the C++ planner (native/planner.cpp) when available.
     """
+    if allow_native and not verbose:
+        try:
+            from ..native import lib as _native
+        except Exception:
+            _native = None
+        if _native is not None and _native.available():
+            parr = np.asarray(primes, np.uint64)
+            v, u, amin0 = _native.pair(parr, b1, b2, sp.D, sp.U)
+            sent = int(np.sum((v == 0) & (u == 0)))
+            nump = int(np.searchsorted(parr, b2) - np.searchsorted(parr, b1))
+            pairs = len(v) - sent
+            stats = dict(pairs=pairs, primes=nump,
+                         ratio=(pairs / nump if nump else 0.0))
+            return v, u, amin0, stats
     w, U, L, umax = sp.D, sp.U, sp.L, sp.umax
     amin = amin_entry = (b1 + w) // (2 * w)
     queues: List[deque] = [deque() for _ in range(sp.R)]
