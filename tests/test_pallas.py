@@ -5,7 +5,6 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from moduli import N256
 from tpu_ecm import params
 from tpu_ecm.curve import ops, prac, suyama
 from tpu_ecm.limbs import jnp_ops, layout, pallas_ops
@@ -25,26 +24,29 @@ def _setup(ctx, b, b1):
     return pts, s_const, tape
 
 
-@pytest.mark.parametrize("n,mers", [(N256, None),
-                                    ((1 << 127) - 1, (127, 1))])
+N64 = 2545580081 * 2551628633          # 64-bit semiprime
+M61 = (1 << 61) - 1
+
+
+@pytest.mark.parametrize("n,mers", [(N64, None), (M61, (61, 1))])
 def test_pallas_executor_bitexact(n, mers):
     ctx = params.make_monty(n, mersenne=mers)
     dctx = jnp_ops.device_ctx(ctx)
     b = 128
-    pts, s_const, tape = _setup(ctx, b, 120)
+    pts, s_const, tape = _setup(ctx, b, 40)
     ref = np.asarray(jax.jit(ops.run_tape)(
         jnp.asarray(pts), jnp.asarray(tape), jnp.asarray(s_const), dctx))
-    run = pallas_ops.make_tape_executor(ctx, b, chunk=64, interpret=True)
+    run = pallas_ops.make_tape_executor(ctx, b, chunk=16, interpret=True)
     got = np.asarray(run(jnp.asarray(pts), jnp.asarray(tape),
                          jnp.asarray(s_const)))
     np.testing.assert_array_equal(got[0], ref[0])
 
 
 def test_nop_padding_is_identity():
-    ctx = params.make_monty(N256)
+    ctx = params.make_monty(N64)
     b = 128
-    pts, s_const, tape = _setup(ctx, b, 30)
-    run = pallas_ops.make_tape_executor(ctx, b, chunk=256, interpret=True)
+    pts, s_const, tape = _setup(ctx, b, 14)
+    run = pallas_ops.make_tape_executor(ctx, b, chunk=32, interpret=True)
     # chunk=256 forces NOP padding beyond the short tape
     got = np.asarray(run(jnp.asarray(pts), jnp.asarray(tape),
                          jnp.asarray(s_const)))
