@@ -24,7 +24,7 @@ def _setup(ctx, b, b1):
     return pts, s_const, tape
 
 
-N64 = 2545580081 * 2551628633          # 64-bit semiprime
+N64 = 2545580083 * 2551628647          # 63-bit semiprime (both factors prime)
 M61 = (1 << 61) - 1
 
 
