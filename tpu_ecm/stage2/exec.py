@@ -263,78 +263,101 @@ class Stage2Runner:
         return self
 
     # -- phase 3: per-chunk pairmap replay ----------------------------------
+    #
+    # The reference interleaves window shifts with pairing and pays one
+    # mpz_invert per lane per 2U-point extension (ecm.c:2458-2501).  Here the
+    # executor contract (amin advances by U per (0,0) sentinel, local index
+    # v - amin into a 2L window of points spaced D apart) is flattened to a
+    # single *global* giant-step index
+    #
+    #     j = (v - amin_s) + 2*U*s = v - amin0 + U*s,   Pa[j] = [(2*amin0+j)*D]Q
+    #
+    # so a chunk's pairmap becomes one list of (j, pb) gather entries whose
+    # product order is irrelevant.  Points are built once, in fixed-size
+    # groups (a contiguous differential-add chain), each group batch-inverted
+    # with ONE host modinv for the whole (group x curve-batch) block — vs one
+    # inversion round-trip per window shift.  This keeps the device busy and
+    # bounds host syncs per chunk to #groups (~ a handful).
 
-    def _build_pa_window(self, amin: int):
-        """Pa[i] = [(2*amin + i) * D]Q for i in [0, 2L)
-        (/root/reference/ecm.c:2375-2428)."""
-        sp = self.sp
-        a_val = 2 * amin * sp.D
-        pa0 = _run_ladder(self.pt, self.s_const, a_val, self.dctx,
-                          self.run_tape)
-        pad = _run_ladder(self.pt, self.s_const, a_val - sp.D, self.dctx,
-                          self.run_tape)
-        count = jnp.zeros((2 * sp.L - 1,), dtype=jnp.int32)
-        rest = _pa_extend((pa0, pad), self.pd, self.s_const, count, self.dctx)
-        self.pa = jnp.concatenate([pa0[None], rest], axis=0)
-        self.ptadds += 2 * sp.L - 1
-        self.pa_inv = self._invert_planes(self.pa[:, 0], self.pa[:, 1])
-        self.amin = amin
+    PA_GROUP = 512                # giant-step points per inversion group
 
-    def _shift_window(self):
-        """(0,0) sentinel: drop 2U stale points, extend 2U new ones, invert
-        only the new ones (/root/reference/ecm.c:2458-2501)."""
+    def _entries_global(self, map_v: np.ndarray, map_u: np.ndarray,
+                        amin0: int) -> np.ndarray:
+        """Pairmap -> [T, 2] int64 (global Pa index j, Pb storage index)."""
         sp = self.sp
-        nshift = 2 * sp.U
-        carry = (self.pa[-1], self.pa[-2])
-        count = jnp.zeros((nshift,), dtype=jnp.int32)
-        newpts = _pa_extend(carry, self.pd, self.s_const, count, self.dctx)
-        self.pa = jnp.concatenate([self.pa[nshift:], newpts], axis=0)
-        self.ptadds += nshift
-        new_inv = self._invert_planes(newpts[:, 0], newpts[:, 1])
-        self.pa_inv = jnp.concatenate([self.pa_inv[nshift:], new_inv], axis=0)
-        self.amin += sp.U
+        v = map_v.astype(np.int64)
+        u = map_u.astype(np.int64)
+        sent = (v == 0) & (u == 0)
+        shifts = np.cumsum(sent)                 # s at each position
+        keep = ~sent
+        j = v[keep] - amin0 + sp.U * shifts[keep]
+        win_lo = 2 * sp.U * shifts[keep]
+        assert j.size == 0 or (
+            (j >= win_lo).all() and (j < win_lo + 2 * sp.L).all()), \
+            "pairmap v outside its window"
+        pb = sp.rprime_map[u[keep]].astype(np.int64)
+        assert (pb > 0).all()
+        return np.stack([j, pb], axis=1)
 
     def run_chunk(self, map_v: np.ndarray, map_u: np.ndarray, amin0: int):
         """Replay one chunk's pairmap (built by plan.pair for this chunk)."""
         sp = self.sp
-        self._build_pa_window(amin0)
-        # extended Pa_inv with a one-row at index 2L for padded no-ops
-        sent = (map_v == 0) & (map_u == 0)
-        bounds = np.nonzero(sent)[0].tolist() + [map_v.shape[0]]
-        start = 0
-        for b_idx in bounds:
-            seg_v = map_v[start:b_idx].astype(np.int64)
-            seg_u = map_u[start:b_idx].astype(np.int64)
-            if seg_v.size:
-                pa_idx = seg_v - self.amin
-                assert pa_idx.min() >= 0 and pa_idx.max() < 2 * sp.L, \
-                    (pa_idx.min(), pa_idx.max(), self.amin)
-                pb_idx = sp.rprime_map[seg_u]
-                assert (pb_idx[seg_u > 0] > 0).all()
-                idx = np.stack([pa_idx, pb_idx.astype(np.int64)],
-                               axis=1).astype(np.int32)
+        entries = self._entries_global(map_v, map_u, amin0)
+        if entries.shape[0] == 0:
+            return
+        order = np.argsort(entries[:, 0], kind="stable")
+        entries = entries[order]
+        max_j = int(entries[-1, 0])
+        G = self.PA_GROUP
+
+        # chain seeds: Pa[0] = [2*amin0*D]Q, diff [2*amin0*D - D]Q
+        a_val = 2 * amin0 * sp.D
+        p_last = _run_ladder(self.pt, self.s_const, a_val, self.dctx,
+                             self.run_tape)       # Pa[0]
+        p_prev = _run_ladder(self.pt, self.s_const, a_val - sp.D, self.dctx,
+                             self.run_tape)       # Pa[-1]
+        count = jnp.zeros((G - 1,), dtype=jnp.int32)
+
+        pos = 0
+        base = 0
+        while base <= max_j:
+            # build global points [base, base+G): first point is the carry
+            if base == 0:
+                rest = _pa_extend((p_last, p_prev), self.pd, self.s_const,
+                                  count, self.dctx)
+                group = jnp.concatenate([p_last[None], rest], axis=0)
+                self.ptadds += G - 1
+            else:
+                cnt = jnp.zeros((G,), dtype=jnp.int32)
+                group = _pa_extend((p_last, p_prev), self.pd, self.s_const,
+                                   cnt, self.dctx)
+                self.ptadds += G
+            p_last, p_prev = group[-1], group[-2]
+
+            hi = np.searchsorted(entries[:, 0], base + G)
+            if hi > pos:
+                pa_inv = self._invert_planes(group[:, 0], group[:, 1])
                 pa_inv_ext = jnp.concatenate(
-                    [self.pa_inv, self.one_plane[None]], axis=0)
-                # slice into <=512-entry blocks, each padded to a power of
-                # two with no-op entries (one - 0); bounds memory and the
-                # number of compiled tree shapes
+                    [pa_inv, self.one_plane[None]], axis=0)
+                idx = np.stack([entries[pos:hi, 0] - base,
+                                entries[pos:hi, 1]], axis=1).astype(np.int32)
+                # <=512-entry blocks, padded to powers of two with no-op
+                # entries (one - 0); bounds the number of compiled shapes
                 t = idx.shape[0]
                 for lo in range(0, t, 512):
                     blk = idx[lo:lo + 512]
                     tb = blk.shape[0]
                     tpad = 1 << max(0, (tb - 1).bit_length())
                     if tpad > tb:
-                        pad = np.tile(
-                            np.array([[2 * sp.L, 0]], dtype=np.int32),
-                            (tpad - tb, 1))
+                        pad = np.tile(np.array([[G, 0]], dtype=np.int32),
+                                      (tpad - tb, 1))
                         blk = np.concatenate([blk, pad], axis=0)
                     self.acc = _replay_segment(self.acc, pa_inv_ext,
                                                self.pbx, jnp.asarray(blk),
                                                self.dctx)
                 self.paired += int(t)
-            if b_idx < map_v.shape[0]:
-                self._shift_window()
-            start = b_idx + 1
+                pos = hi
+            base += G
 
     # -- harvest ------------------------------------------------------------
 
