@@ -205,3 +205,43 @@ def test_worst_case_digit_bounds():
     rinv = pow(p.R, -1, n)
     for i in range(b):
         assert got[i] % n == (av[i] * bv[i] * rinv) % n
+
+
+def test_select_radix_large_moduli():
+    """>=~700-bit moduli need the norm_inputs entry pass; selection must
+    terminate and stay int32-safe (regression: the w=10 fixed-point analysis
+    used to diverge into multi-megabit Python ints at 1000 bits)."""
+    w, nw, norm = params.select_radix(416)
+    assert not norm
+    for bits in (1000, 1536, 2048):
+        w, nw, norm = params.select_radix(bits)
+        assert norm and w * (nw - 1) >= bits + 4
+        bound = params._digit_bound_fixed_point(w, nw, True)
+        assert bound < int(0.95 * 2**31)
+
+
+def test_norm_inputs_mulmod_exact_1000bit():
+    """Direct mulmod exactness at 999 bits (nw=93, norm_inputs=True) on
+    worst-case redundant inputs."""
+    rng = random.Random(11)
+    n = (rng.getrandbits(999) | (1 << 998)) | 1
+    ctx = params.make_monty(n)
+    assert ctx.p.norm_inputs
+    dctx = jnp_ops.device_ctx(ctx)
+    p = ctx.p
+    b = 8
+    a = (layout.pack_batch(rand_vals(2 * n - 1, b, rng), p.w, p.nw)
+         + layout.pack_batch(rand_vals(2 * n - 1, b, rng), p.w, p.nw))
+    bb = (layout.pack_batch(rand_vals(2 * n - 1, b, rng), p.w, p.nw)
+          + layout.pack_batch(rand_vals(2 * n - 1, b, rng), p.w, p.nw))
+    av = layout.unpack_batch(a, p.w)
+    bv = layout.unpack_batch(bb, p.w)
+    got = layout.unpack_batch(
+        np.asarray(jax.jit(jnp_ops.mulmod)(jnp.asarray(a), jnp.asarray(bb),
+                                           dctx)), p.w)
+    sq = layout.unpack_batch(
+        np.asarray(jax.jit(jnp_ops.sqrmod)(jnp.asarray(a), dctx)), p.w)
+    rinv = pow(p.R, -1, n)
+    for i in range(b):
+        assert got[i] % n == (av[i] * bv[i] * rinv) % n
+        assert sq[i] % n == (av[i] * av[i] * rinv) % n

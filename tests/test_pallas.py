@@ -55,3 +55,19 @@ def test_nop_padding_is_identity():
     got2 = np.asarray(run2(jnp.asarray(pts), jnp.asarray(tape),
                            jnp.asarray(s_const)))
     np.testing.assert_array_equal(got[0], got2[0])
+
+
+def test_pallas_norm_inputs_bitexact():
+    """norm_inputs entry-normalization branch (large-modulus mode), forced on
+    via a tiny radix: pallas must stay bit-identical to the jnp path."""
+    ctx = params.make_monty(N64, force_w=6)
+    assert ctx.p.norm_inputs
+    dctx = jnp_ops.device_ctx(ctx)
+    b = 128
+    pts, s_const, tape = _setup(ctx, b, 40)
+    ref = np.asarray(jax.jit(ops.run_tape)(
+        jnp.asarray(pts), jnp.asarray(tape), jnp.asarray(s_const), dctx))
+    run = pallas_ops.make_tape_executor(ctx, b, chunk=16, interpret=True)
+    got = np.asarray(run(jnp.asarray(pts), jnp.asarray(tape),
+                         jnp.asarray(s_const)))
+    np.testing.assert_array_equal(got[0], ref[0])

@@ -99,7 +99,7 @@ def prepare_context(n: int, force_no_mersenne: bool = False,
             mers = None
         # pseudo-Mersenne c must leave fold headroom at our radix
         elif c not in (1, -1):
-            w, _ = _params.select_radix(e)
+            w, _, _ = _params.select_radix(e)
             if e <= 2 * abs(c).bit_length() + 2 * w + 16:
                 mers = None
     if mers is not None and verbose:
@@ -196,13 +196,22 @@ class ECMDriver:
         t0 = time.time()
         curves = []
         for s in sigmas:
-            try:
-                curves.append(suyama.build_one_curve(ctx, s))
-            except suyama.FactorFoundDuringBuild as e:
-                if e.factor:
-                    self._report_factor(e.factor, 0, base_idx, s, cfg.b1)
-                # keep batch shape: substitute a fresh sigma
-                curves.append(suyama.build_one_curve(ctx, s + 1_000_003))
+            # keep batch shape: on a gcd hit during construction, report the
+            # factor and retry with fresh sigmas (an input with several small
+            # factors can trip consecutive substitutes too)
+            for attempt in range(64):
+                try:
+                    curves.append(suyama.build_one_curve(ctx, s))
+                    break
+                except suyama.FactorFoundDuringBuild as e:
+                    if e.factor:
+                        self._report_factor(e.factor, 0, base_idx, e.sigma,
+                                            cfg.b1)
+                    s = s + 1_000_003
+            else:
+                raise RuntimeError(
+                    "curve construction kept hitting gcd factors; "
+                    "input has many small factors — divide them out first")
         state = _stage1.init_state(
             ctx, [c.x_mont for c in curves], [c.z_mont for c in curves],
             [c.s_mont for c in curves], sharder=cfg.sharder)

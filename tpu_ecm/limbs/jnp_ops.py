@@ -244,6 +244,9 @@ def _mersenne_reduce(t: jax.Array, ctx: DeviceCtx) -> jax.Array:
 
 def mulmod(a: jax.Array, b: jax.Array, ctx: DeviceCtx) -> jax.Array:
     """Modular product of digit planes (vecmulmod52 / vecmulmod52_mersenne)."""
+    if ctx.p.norm_inputs:
+        a = _lazy_pass(a, ctx.p.w)
+        b = _lazy_pass(b, ctx.p.w)
     t = _product_columns(a, b)
     if ctx.is_mersenne:
         return _mersenne_reduce(t, ctx)
@@ -252,6 +255,8 @@ def mulmod(a: jax.Array, b: jax.Array, ctx: DeviceCtx) -> jax.Array:
 
 def sqrmod(a: jax.Array, ctx: DeviceCtx) -> jax.Array:
     """Modular square (vecsqrmod52 analog, symmetric half-product)."""
+    if ctx.p.norm_inputs:
+        a = _lazy_pass(a, ctx.p.w)
     t = _square_columns(a)
     if ctx.is_mersenne:
         return _mersenne_reduce(t, ctx)

@@ -64,9 +64,7 @@ def _make_arith(ctx: MontyCtx):
             cols = out
         return cols
 
-    def product_cols(a, b):
-        ar = [a[i] for i in range(nw)]
-        br = [b[j] for j in range(nw)]
+    def product_cols(ar, br):
         cols = [None] * (2 * nw)
         for i in range(nw):
             for j in range(nw):
@@ -76,8 +74,7 @@ def _make_arith(ctx: MontyCtx):
         cols[2 * nw - 1] = jnp.zeros_like(cols[0])
         return cols
 
-    def square_cols(a):
-        ar = [a[i] for i in range(nw)]
+    def square_cols(ar):
         cols = [None] * (2 * nw)
         for i in range(nw):
             for j in range(i + 1, nw):
@@ -141,10 +138,20 @@ def _make_arith(ctx: MontyCtx):
             return jnp.stack(lazy_list(cols[nw:2 * nw]))
 
     def mulmod(a, b):
-        return reduce_cols(product_cols(a, b))
+        ar = [a[i] for i in range(nw)]
+        br = [b[i] for i in range(nw)]
+        if p.norm_inputs:
+            # entry lazy pass (top guard row unsplit): keeps operand digits
+            # near 2^w so column sums stay in int32 at large nw
+            ar = lazy_list(ar, passes=1)
+            br = lazy_list(br, passes=1)
+        return reduce_cols(product_cols(ar, br))
 
     def sqrmod(a):
-        return reduce_cols(square_cols(a))
+        ar = [a[i] for i in range(nw)]
+        if p.norm_inputs:
+            ar = lazy_list(ar, passes=1)
+        return reduce_cols(square_cols(ar))
 
     return mulmod, sqrmod
 

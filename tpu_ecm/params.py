@@ -22,38 +22,52 @@ from typing import Optional, Tuple
 import numpy as np
 
 
-def _digit_bound_fixed_point(w: int, nw: int) -> int:
+def _digit_bound_fixed_point(w: int, nw: int, norm_inputs: bool = False) -> int:
     """Worst-case int32 column magnitude for mont_mul at radix 2**w, nw digits.
 
-    mul inputs are either normalized mul outputs (digits in
-    (-cmax2, 2**w + cmax2)) or a single add/sub of two of those.  Solve the
-    fixed point of: column <= nw*(din^2 + 2**(2w)) + 2*column>>w.
+    Without norm_inputs, mul inputs are either normalized mul outputs (digits
+    in (-cmax2, 2**w + cmax2)) or a single add/sub of two of those.  With
+    norm_inputs, mulmod/sqrmod apply one extra lazy pass to each operand at
+    entry, which squeezes every digit except the unsplit top guard back to
+    ~2**w — that halves the operand bound and lets nw grow ~4x (needed for
+    >= ~700-bit moduli).  Solve the fixed point of
+    column <= sum(products) + nw*2^(2w) [REDC q*n rows] + 2*column>>w.
     Returns the fixed-point column bound (or a huge number if divergent).
     """
     col = 1 << (2 * w + 4)
-    for _ in range(30):
+    for _ in range(40):
         c2 = (col >> (2 * w)) + 2          # residual carry after 2 lazy passes
-        din = 2 * ((1 << w) + c2)          # one add/sub of two mul outputs
-        new_col = nw * (din * din + (1 << (2 * w))) + 2 * (col >> w)
-        if new_col == col:
+        if norm_inputs:
+            din = (1 << w) + c2 + 4        # after the entry lazy pass
+            din_top = 2 * ((1 << w) + c2) + c2 + 4   # unsplit guard digit
+            prod = (nw - 2) * din * din + 2 * din_top * din
+        else:
+            din = 2 * ((1 << w) + c2)      # one add/sub of two mul outputs
+            prod = nw * din * din
+        new_col = prod + nw * (1 << (2 * w)) + 2 * (col >> w)
+        if new_col == col or col > (1 << 40):
             return col
         col = new_col
     return col
 
 
-def select_radix(nbits: int) -> Tuple[int, int]:
-    """Pick (w, nw): the largest radix 2**w whose worst-case column sums fit
-    int32, with nw digits giving R = 2**(w*nw) >= 16 * 2**nbits >= 16*N.
+def select_radix(nbits: int) -> Tuple[int, int, bool]:
+    """Pick (w, nw, norm_inputs): the largest radix 2**w whose worst-case
+    column sums fit int32, with nw digits giving R = 2**(w*nw) >= 16 *
+    2**nbits >= 16*N.  Prefers norm_inputs=False (no entry normalization in
+    mulmod); large moduli (>= ~700 bits) need the entry pass to keep operand
+    digits near 2**w.
 
     The +5/+1 slack mirrors the role of the reference's 208-bit quantization
     (/root/reference/main.c:464-480): arithmetic cost is constant within a
     radix step, and every value fits with a signed guard digit on top.
     """
-    for w in range(13, 5, -1):
-        nw = (nbits + 4 + w - 1) // w + 1
-        # keep 5% margin below 2**31
-        if _digit_bound_fixed_point(w, nw) < int(0.95 * 2**31):
-            return w, nw
+    limit = int(0.95 * 2**31)
+    for norm in (False, True):
+        for w in range(13, 5, -1):
+            nw = (nbits + 4 + w - 1) // w + 1
+            if _digit_bound_fixed_point(w, nw, norm) < limit:
+                return w, nw, norm
     raise ValueError(f"no valid radix for {nbits}-bit modulus")
 
 
@@ -63,6 +77,7 @@ class ArithParams:
     w: int          # radix bits
     nw: int         # number of digits per bignum
     nbits: int      # bit size the geometry was sized for
+    norm_inputs: bool = False   # lazy-pass mul operands at entry (large nw)
 
     @property
     def mask(self) -> int:
@@ -129,9 +144,11 @@ def make_monty(n: int, *, mersenne: Optional[Tuple[int, int]] = None,
         if force_w is not None:
             w = force_w
             nw = (e + 4 + w - 1) // w + 1
+            norm = (_digit_bound_fixed_point(w, nw, False)
+                    >= int(0.95 * 2**31))
         else:
-            w, nw = select_radix(e)
-        p = ArithParams(w=w, nw=nw, nbits=e)
+            w, nw, norm = select_radix(e)
+        p = ArithParams(w=w, nw=nw, nbits=e, norm_inputs=norm)
         return MontyCtx(p=p, n_int=m, input_n=n, nprime=0,
                         r_mod_n=1, r2_mod_n=1, mersenne_e=e, mersenne_c=c)
 
@@ -139,9 +156,10 @@ def make_monty(n: int, *, mersenne: Optional[Tuple[int, int]] = None,
     if force_w is not None:
         w = force_w
         nw = (nbits + 4 + w - 1) // w + 1
+        norm = _digit_bound_fixed_point(w, nw, False) >= int(0.95 * 2**31)
     else:
-        w, nw = select_radix(nbits)
-    p = ArithParams(w=w, nw=nw, nbits=nbits)
+        w, nw, norm = select_radix(nbits)
+    p = ArithParams(w=w, nw=nw, nbits=nbits, norm_inputs=norm)
     R = p.R
     nprime = (-pow(n, -1, 1 << w)) % (1 << w)
     return MontyCtx(p=p, n_int=n, input_n=n, nprime=nprime,
