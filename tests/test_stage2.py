@@ -145,3 +145,55 @@ def test_stage2_executor_exact_vs_oracle():
             acc = acc * (cache[m] - cache[u]) % n
         assert res.acc[i] == acc, f"curve {i}: stage-2 accumulator mismatch"
     assert res.paired == int(np.sum(~((map_v == 0) & (map_u == 0))))
+
+
+def test_stage2_pallas_kernels_parity():
+    """The stage-2 Pallas kernels (chain extension, prefix products,
+    apply-inverse, pairmap replay) must match the jnp fallback bit-exactly
+    (interpret mode; the TPU path is additionally cross-checked on hardware,
+    see BENCH_NOTES.md)."""
+    import jax
+    import jax.numpy as jnp
+    from tpu_ecm.curve import suyama
+    from tpu_ecm.limbs import jnp_ops, layout, pallas_ops
+    from tpu_ecm.stage2 import exec as s2exec
+
+    n = 2545580083 * 2551628647
+    ctx = params.make_monty(n)
+    dctx = jnp_ops.device_ctx(ctx)
+    b = 128
+    cs = [suyama.build_one_curve(ctx, 5000 + i) for i in range(b)]
+    p = ctx.p
+    pt = np.stack([layout.pack_batch([c.x_mont for c in cs], p.w, p.nw),
+                   layout.pack_batch([c.z_mont for c in cs], p.w, p.nw)])
+    s = layout.pack_batch([c.s_mont for c in cs], p.w, p.nw)
+    pd = jnp.asarray(pt)  # Pd = Q; chain from ([2]Q, [1]Q) walks [3]Q, [4]Q...
+    one = jnp.asarray(layout.broadcast_int(ctx.r_mod_n, p.w, p.nw, b))
+    from tpu_ecm.curve import ops as curve_ops
+    x2, z2 = jax.jit(curve_ops.xdbl)(pd[0], pd[1], jnp.asarray(s), dctx)
+    q2 = jnp.stack([x2, z2])
+
+    K = 6
+    # chain
+    cnt = jnp.zeros((K,), dtype=jnp.int32)
+    ref = s2exec._pa_extend((q2, pd), pd, jnp.asarray(s), cnt, dctx)
+    got = pallas_ops.make_chain_executor(ctx, b, K, interpret=True)(
+        q2, pd, pd)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # prefix + apply-inverse
+    zs = ref[:, 1]
+    xs = ref[:, 0]
+    pref_ref = s2exec._z_prefix(zs, one, dctx)
+    pref_got = pallas_ops.make_prefix_executor(ctx, b, K, interpret=True)(
+        zs, one)
+    np.testing.assert_array_equal(np.asarray(pref_got), np.asarray(pref_ref))
+    total = layout.unpack_batch(np.asarray(pref_ref[-1]), p.w)
+    inv_ints, fnd = s2exec.host_batch_inverse(ctx, total)
+    assert not fnd
+    tinv = jnp.asarray(layout.pack_batch(inv_ints, p.w, p.nw))
+    app_ref = s2exec._apply_inverse(xs, zs, pref_ref, tinv, one, dctx)
+    pres = jnp.concatenate([one[None], pref_got[:-1]], axis=0)
+    app_got = pallas_ops.make_apply_inverse_executor(
+        ctx, b, K, interpret=True)(xs, zs, pres, tinv)
+    np.testing.assert_array_equal(np.asarray(app_got), np.asarray(app_ref))

@@ -30,6 +30,7 @@ from ..limbs.jnp_ops import DeviceCtx
 # tape opcodes
 OP_DUP = 0
 OP_ADD = 1
+OP_NOP = 2   # dst := pts[a] (padding; by convention dst = NUM_SLOTS-1, a = 0)
 
 NUM_SLOTS = 6  # P + {A,B,C,T} + 1 spare for renaming
 
@@ -76,7 +77,10 @@ def tape_step(pts: jax.Array, entry: jax.Array, s_const: jax.Array,
         xo, zo = xadd(pa[0], pa[1], pb[0], pb[1], pd[0], pd[1], ctx)
         return jnp.stack([xo, zo])
 
-    newpt = jax.lax.cond(op == OP_DUP, dup_branch, add_branch, None)
+    def nop_branch(_):
+        return pa
+
+    newpt = jax.lax.switch(op, [dup_branch, add_branch, nop_branch], None)
     return pts.at[dst].set(newpt)
 
 

@@ -205,6 +205,41 @@ def ladder_tape(k: int, out: List[Tuple[int, int, int, int, int]]) -> None:
     out.append((-1, cur1, 0, 0, 0))  # sentinel: result slot marker
 
 
+def ladder_pair_tape(k: int) -> Tuple[np.ndarray, int, int]:
+    """Binary ladder yielding BOTH neighbours: returns (tape, slot_k,
+    slot_k1) with [k]P in slot_k and [k+1]P in slot_k1 after execution (P in
+    slot 0).  Used to seed the stage-2 giant-step chain with
+    ([2*amin-2]Pd, [2*amin-1]Pd) from one ladder over Pd."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if k == 1:
+        return np.asarray([(OP_DUP, 2, 0, 0, 0)], dtype=np.int32), 0, 2
+    if k == 2:
+        return np.asarray([(OP_DUP, 2, 0, 0, 0),
+                           (OP_ADD, 1, 2, 0, 0)], dtype=np.int32), 2, 1
+    out: List[Tuple[int, int, int, int, int]] = []
+    ladder_tape(k, out)
+    assert out and out[-1][0] == -1
+    cur1 = out[-1][1]
+    out = out[:-1]
+    # pt2 (= [k+1]P) lives in slot 2 throughout ladder_tape's loop
+    return np.asarray(out, dtype=np.int32), cur1, 2
+
+
+def pad_tape(tape: np.ndarray, multiple: int) -> np.ndarray:
+    """Pad a tape to a length multiple with NOP entries (dst = NUM_SLOTS-1,
+    src slot 0) so executors compile one shape per size class.  Safe whenever
+    slot NUM_SLOTS-1 is not a live result slot."""
+    from .ops import OP_NOP
+    t = tape.shape[0]
+    npad = (-t) % multiple
+    if npad == 0:
+        return tape
+    nop = np.tile(np.asarray([[OP_NOP, NUM_SLOTS - 1, 0, 0, 0]],
+                             dtype=np.int32), (npad, 1))
+    return np.concatenate([tape, nop], axis=0)
+
+
 def ladder_tape_result_slot(k: int) -> Tuple[np.ndarray, int]:
     """Build a standalone ladder tape and return (tape[T,5] int32, result_slot)."""
     ops: List[Tuple[int, int, int, int, int]] = []

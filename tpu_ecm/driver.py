@@ -139,6 +139,7 @@ class ECMDriver:
         self.use_pallas = (cfg.use_pallas if cfg.use_pallas is not None
                            else jax.default_backend() != "cpu")
         self._executors: Dict[int, object] = {}
+        self._s2_executors: Dict = {}
         seed = _rng.hash64(int(time.time() * 1e6) & ((1 << 64) - 1))
         self.sigma_gen = _rng.SigmaGen(cfg.sigma, seed)
         self.factors: List[FactorHit] = []
@@ -242,7 +243,9 @@ class ECMDriver:
             sp = s2plan.make_stage2_params(cfg.b1, self.b2)
             runner = s2exec.Stage2Runner(ctx, self.dctx, sp,
                                          state.pts[0], state.s_const,
-                                         cfg.b1, verbose=cfg.verbose >= 2)
+                                         cfg.b1, verbose=cfg.verbose >= 2,
+                                         use_pallas=self.use_pallas,
+                                         executor_cache=self._s2_executors)
             runner.init()
             self.timings["stage2_init"] = (self.timings.get("stage2_init", 0)
                                            + time.time() - t0)

@@ -208,6 +208,253 @@ def _tape_kernel(ctx: MontyCtx, tape_ref, pts_in, s_in, pts_out):
     jax.lax.fori_loop(0, nsteps, step, 0)
 
 
+def _point_ops(ctx: MontyCtx):
+    """xadd/xdbl on [2, NW, Bs, 128] points built over _make_arith (same
+    formulas as curve.ops / the tape executor)."""
+    mulmod, sqrmod = _make_arith(ctx)
+
+    def xadd(pa, pb, pd):
+        s1, d1 = pa[0] + pa[1], pa[0] - pa[1]
+        s2, d2 = pb[0] + pb[1], pb[0] - pb[1]
+        u = mulmod(d1, s2)
+        v = mulmod(s1, d2)
+        t1 = sqrmod(u + v)
+        t2 = sqrmod(u - v)
+        return jnp.stack([mulmod(t1, pd[1]), mulmod(t2, pd[0])])
+
+    return mulmod, sqrmod, xadd
+
+
+def make_chain_executor(ctx: MontyCtx, batch: int, count: int,
+                        interpret: bool = False):
+    """Differential-add chain: out[i] = out[i-1] + Pd (diff out[i-2]), seeded
+    by (p1, p2) = (out[-1], out[-2]) — the giant-step extension
+    (/root/reference/ecm.c:2405-2424) as one kernel with the running pair in
+    VMEM scratch and one output point DMA'd out per grid step.
+
+    run(p1 [2,NW,B], p2 [2,NW,B], pd [2,NW,B]) -> [count, 2, NW, B].
+    """
+    p = ctx.p
+    nw = p.nw
+    assert batch % LANE == 0
+    bs = batch // LANE
+
+    def kernel(p1_in, p2_in, pd, out, s1, s2):
+        _, _, xadd = _point_ops(ctx)
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            s1[...] = p1_in[...]
+            s2[...] = p2_in[...]
+
+        new = xadd(s1[...], pd[...], s2[...])
+        out[0] = new
+        s2[...] = s1[...]
+        s1[...] = new
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(count,),
+        in_specs=[
+            pl.BlockSpec((2, nw, bs, LANE), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((2, nw, bs, LANE), lambda i: (0, 0, 0, 0)),
+            pl.BlockSpec((2, nw, bs, LANE), lambda i: (0, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2, nw, bs, LANE),
+                               lambda i: (i, 0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((count, 2, nw, bs, LANE), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((2, nw, bs, LANE), jnp.int32),
+                        pltpu.VMEM((2, nw, bs, LANE), jnp.int32)],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    @jax.jit
+    def run(p1, p2, pd):
+        out = call(p1.reshape(2, nw, bs, LANE), p2.reshape(2, nw, bs, LANE),
+                   pd.reshape(2, nw, bs, LANE))
+        return out.reshape(count, 2, nw, batch)
+
+    return run
+
+
+def make_prefix_executor(ctx: MontyCtx, batch: int, count: int,
+                         interpret: bool = False):
+    """Montgomery-trick prefix products over a stack of planes:
+    out[i] = one * z[0] * ... * z[i] — sequential over rows, the running
+    product living in VMEM scratch (batch-inversion phase 1,
+    /root/reference/ecm.c:1869-2001).
+
+    run(zs [count,NW,B], one [NW,B]) -> [count,NW,B].
+    """
+    p = ctx.p
+    nw = p.nw
+    assert batch % LANE == 0
+    bs = batch // LANE
+
+    def kernel(z_row, one_in, out, acc):
+        mulmod, _ = _make_arith(ctx)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            acc[...] = one_in[...]
+
+        acc[...] = mulmod(acc[...], z_row[0])
+        out[0] = acc[...]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(count,),
+        in_specs=[
+            pl.BlockSpec((1, nw, bs, LANE), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((nw, bs, LANE), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, nw, bs, LANE), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((count, nw, bs, LANE), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((nw, bs, LANE), jnp.int32)],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    @jax.jit
+    def run(zs, one):
+        out = call(zs.reshape(count, nw, bs, LANE),
+                   one.reshape(nw, bs, LANE))
+        return out.reshape(count, nw, batch)
+
+    return run
+
+
+def make_apply_inverse_executor(ctx: MontyCtx, batch: int, count: int,
+                                interpret: bool = False):
+    """Batch-inversion suffix walk + application (phase 3 of Montgomery's
+    trick, /root/reference/ecm.c:1951-2001): given prefix products pres[i] =
+    one*z[0]*..*z[i-1] and total_inv = (prod z)^-1, produce
+    out[i] = x[i] * z[i]^-1, walking i from count-1 down to 0 with the
+    running suffix in VMEM scratch.
+
+    run(xs [count,NW,B], zs [count,NW,B], pres [count,NW,B],
+        total_inv [NW,B]) -> [count,NW,B].
+    """
+    p = ctx.p
+    nw = p.nw
+    assert batch % LANE == 0
+    bs = batch // LANE
+
+    def kernel(x_row, z_row, pre_row, tinv_in, out, suf):
+        mulmod, _ = _make_arith(ctx)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            suf[...] = tinv_in[...]
+
+        inv_i = mulmod(suf[...], pre_row[0])
+        out[0] = mulmod(x_row[0], inv_i)
+        suf[...] = mulmod(suf[...], z_row[0])
+
+    rev = lambda i: (count - 1 - i, 0, 0, 0)
+    call = pl.pallas_call(
+        kernel,
+        grid=(count,),
+        in_specs=[
+            pl.BlockSpec((1, nw, bs, LANE), rev),
+            pl.BlockSpec((1, nw, bs, LANE), rev),
+            pl.BlockSpec((1, nw, bs, LANE), rev),
+            pl.BlockSpec((nw, bs, LANE), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, nw, bs, LANE), rev),
+        out_shape=jax.ShapeDtypeStruct((count, nw, bs, LANE), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((nw, bs, LANE), jnp.int32)],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    @jax.jit
+    def run(xs, zs, pres, total_inv):
+        out = call(xs.reshape(count, nw, bs, LANE),
+                   zs.reshape(count, nw, bs, LANE),
+                   pres.reshape(count, nw, bs, LANE),
+                   total_inv.reshape(nw, bs, LANE))
+        return out.reshape(count, nw, batch)
+
+    return run
+
+
+def make_replay_executor(ctx: MontyCtx, batch: int, pa_rows: int,
+                         pb_rows: int, t_block: int = 2048,
+                         interpret: bool = False):
+    """Stage-2 pairmap replay kernel: acc *= (Pa_inv[v] - PbX[u]) per entry
+    (CROSS_PRODUCT_INV, /root/reference/ecm.c:1857-1859).
+
+    Returns run(acc [NW,B], pa_ext [pa_rows,NW,B], pbx [pb_rows,NW,B],
+    idx [t_block,2] int32) -> acc.
+
+    The grid walks the entry list; the scalar-prefetched idx drives the
+    BlockSpec index maps, so each step's Pa/Pb rows are DMA-gathered from HBM
+    into VMEM by the pipeline (double-buffered) while the accumulator stays
+    resident in VMEM across the whole block.  Pad entries with
+    (pa_rows-1, 0) where pa_ext[-1] is the Montgomery one and pbx[0] is
+    zero: acc *= one is value-preserving.
+    """
+    p = ctx.p
+    nw = p.nw
+    assert batch % LANE == 0
+    bs = batch // LANE
+
+    def kernel(idx_ref, pa_row, pb_row, acc_in, acc_out, acc_scr):
+        mulmod, _ = _make_arith(ctx)
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_scr[...] = acc_in[...]
+
+        acc_scr[...] = mulmod(acc_scr[...], pa_row[0] - pb_row[0])
+
+        @pl.when(i == t_block - 1)
+        def _():
+            acc_out[...] = acc_scr[...]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_block,),
+        in_specs=[
+            # idx rides flat in SMEM ([2T] int32; a [T,2] array would get
+            # lane-padded to T*128 words and overflow SMEM)
+            pl.BlockSpec((1, nw, bs, LANE),
+                         lambda i, idx: (idx[2 * i], 0, 0, 0)),
+            pl.BlockSpec((1, nw, bs, LANE),
+                         lambda i, idx: (idx[2 * i + 1], 0, 0, 0)),
+            pl.BlockSpec((nw, bs, LANE), lambda i, idx: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nw, bs, LANE), lambda i, idx: (0, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((nw, bs, LANE), jnp.int32)],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nw, bs, LANE), jnp.int32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    @jax.jit
+    def run(acc, pa_ext, pbx, idx):
+        acc4 = acc.reshape(nw, bs, LANE)
+        pa4 = pa_ext.reshape(pa_rows, nw, bs, LANE)
+        pb4 = pbx.reshape(pb_rows, nw, bs, LANE)
+        out = call(idx.reshape(2 * t_block), pa4, pb4, acc4)
+        return out.reshape(nw, batch)
+
+    return run
+
+
 def make_tape_executor(ctx: MontyCtx, batch: int, chunk: int = 1024,
                        interpret: bool = False):
     """Returns run(pts [S,2,NW,B], tape [T,5], s_const [NW,B]) -> pts.

@@ -206,7 +206,9 @@ class Stage2Runner:
     """Per-batch stage-2 state machine (phases 2+3 of vececm)."""
 
     def __init__(self, ctx: MontyCtx, dctx: DeviceCtx, sp: Stage2Params,
-                 pt, s_const, b1: int, verbose: bool = False):
+                 pt, s_const, b1: int, verbose: bool = False,
+                 use_pallas: bool = False,
+                 executor_cache: Optional[Dict] = None):
         self.ctx, self.dctx, self.sp = ctx, dctx, sp
         self.pt = pt                  # stage-1 point [2, NW, B]
         self.s_const = s_const
@@ -214,6 +216,14 @@ class Stage2Runner:
         self.verbose = verbose
         b = pt.shape[2]
         self.b = b
+        self.use_pallas = use_pallas and b % 128 == 0
+        # compiled-executor cache, shareable across runners (the driver makes
+        # one runner per curve batch; executors depend only on (kind, size))
+        self._cache = executor_cache if executor_cache is not None else {}
+        # bigger Pa groups / replay blocks on TPU (fewer host syncs and
+        # kernel launches); modest on the jnp fallback so CPU tests stay fast
+        self.pa_group = 4096 if self.use_pallas else 512
+        self.replay_block = 16384 if self.use_pallas else 4096
         one = layout.broadcast_int(ctx.r_mod_n, ctx.p.w, ctx.p.nw, b)
         self.one_plane = jnp.asarray(one)
         self.acc = self.one_plane     # mdata->one init (/root/reference/ecm.c:2318)
@@ -221,7 +231,9 @@ class Stage2Runner:
         self.paired = 0
         self.ptadds = 0
         self.numinv = 0
-        self.run_tape = jax.jit(curve_ops.run_tape)
+        if ("run_tape",) not in self._cache:
+            self._cache[("run_tape",)] = jax.jit(curve_ops.run_tape)
+        self.run_tape = self._cache[("run_tape",)]
         self.pbx: Optional[jax.Array] = None
         self.pd = None
         self.pa = None                # [2L, 2, NW, B]
@@ -234,7 +246,17 @@ class Stage2Runner:
         """x_i/z_i in Montgomery form for stacked planes [K, ...]; one host
         modinv for the whole (K x B) block."""
         self.numinv += 1
-        prefix = _z_prefix(zs, self.one_plane, self.dctx)
+        k = int(zs.shape[0])
+        if self.use_pallas:
+            from ..limbs import pallas_ops
+            if ("prefix", k) not in self._cache:
+                self._cache[("prefix", k)] = pallas_ops.make_prefix_executor(
+                    self.ctx, self.b, k)
+                self._cache[("apply", k)] = \
+                    pallas_ops.make_apply_inverse_executor(self.ctx, self.b, k)
+            prefix = self._cache[("prefix", k)](zs, self.one_plane)
+        else:
+            prefix = _z_prefix(zs, self.one_plane, self.dctx)
         total = layout.unpack_batch(np.asarray(prefix[-1]), self.ctx.p.w)
         inv_ints, fnd = host_batch_inverse(self.ctx, total)
         for i, f in fnd.items():
@@ -242,8 +264,24 @@ class Stage2Runner:
                 self.factors[i] = f
         total_inv = jnp.asarray(layout.pack_batch(
             inv_ints, self.ctx.p.w, self.ctx.p.nw))
+        if self.use_pallas:
+            pres = jnp.concatenate([self.one_plane[None], prefix[:-1]],
+                                   axis=0)
+            return self._cache[("apply", k)](xs, zs, pres, total_inv)
         return _apply_inverse(xs, zs, prefix, total_inv, self.one_plane,
                               self.dctx)
+
+    def _extend(self, p1, p2, count: int):
+        """count new giant-step points from carry (p1, p2) = (newest,
+        previous)."""
+        if self.use_pallas:
+            from ..limbs import pallas_ops
+            if ("chain", count) not in self._cache:
+                self._cache[("chain", count)] = pallas_ops.make_chain_executor(
+                    self.ctx, self.b, count)
+            return self._cache[("chain", count)](p1, p2, self.pd)
+        cnt = jnp.zeros((count,), dtype=jnp.int32)
+        return _pa_extend((p1, p2), self.pd, self.s_const, cnt, self.dctx)
 
     # -- phase 2: init ------------------------------------------------------
 
@@ -279,8 +317,6 @@ class Stage2Runner:
     # inversion round-trip per window shift.  This keeps the device busy and
     # bounds host syncs per chunk to #groups (~ a handful).
 
-    PA_GROUP = 512                # giant-step points per inversion group
-
     def _entries_global(self, map_v: np.ndarray, map_u: np.ndarray,
                         amin0: int) -> np.ndarray:
         """Pairmap -> [T, 2] int64 (global Pa index j, Pb storage index)."""
@@ -308,29 +344,44 @@ class Stage2Runner:
         order = np.argsort(entries[:, 0], kind="stable")
         entries = entries[order]
         max_j = int(entries[-1, 0])
-        G = self.PA_GROUP
+        G = self.pa_group
 
-        # chain seeds: Pa[0] = [2*amin0*D]Q, diff [2*amin0*D - D]Q
-        a_val = 2 * amin0 * sp.D
-        p_last = _run_ladder(self.pt, self.s_const, a_val, self.dctx,
-                             self.run_tape)       # Pa[0]
-        p_prev = _run_ladder(self.pt, self.s_const, a_val - sp.D, self.dctx,
-                             self.run_tape)       # Pa[-1]
-        count = jnp.zeros((G - 1,), dtype=jnp.int32)
+        # chain seeds.  Pa_global[j] = [(2*amin0 + j) * D]Q = [2*amin0 + j]Pd,
+        # so ONE ladder over Pd for k = 2*amin0 - 2 yields both seeds
+        # ([k]Pd, [k+1]Pd) = (global[-2], global[-1]) and every group is a
+        # uniform G-step extension (single compiled shape, no concat).
+        k = 2 * amin0 - 2
+        pending = None
+        if k >= 1:
+            tape, lo, hi = prac.ladder_pair_tape(k)
+            tape = prac.pad_tape(tape, 64)
+            nw_, b_ = self.pt.shape[1], self.pt.shape[2]
+            pts = jnp.zeros((curve_ops.NUM_SLOTS, 2, nw_, b_),
+                            dtype=jnp.int32).at[0].set(self.pd)
+            pts = self.run_tape(pts, jnp.asarray(tape), self.s_const,
+                                self.dctx)
+            p_prev, p_last = pts[lo], pts[hi]
+        else:
+            # amin0 <= 1: [2*amin0-2]Pd would be the point at infinity; seed
+            # from Q ladders and fold Pa[0] in as the first group row
+            a_val = 2 * amin0 * sp.D
+            p_last = _run_ladder(self.pt, self.s_const, a_val, self.dctx,
+                                 self.run_tape)       # global[0]
+            p_prev = _run_ladder(self.pt, self.s_const, a_val - sp.D,
+                                 self.dctx, self.run_tape)  # global[-1]
+            pending = p_last
 
         pos = 0
         base = 0
         while base <= max_j:
-            # build global points [base, base+G): first point is the carry
-            if base == 0:
-                rest = _pa_extend((p_last, p_prev), self.pd, self.s_const,
-                                  count, self.dctx)
-                group = jnp.concatenate([p_last[None], rest], axis=0)
+            # build global points [base, base+G)
+            if pending is not None:
+                rest = self._extend(p_last, p_prev, G - 1)
+                group = jnp.concatenate([pending[None], rest], axis=0)
+                pending = None
                 self.ptadds += G - 1
             else:
-                cnt = jnp.zeros((G,), dtype=jnp.int32)
-                group = _pa_extend((p_last, p_prev), self.pd, self.s_const,
-                                   cnt, self.dctx)
+                group = self._extend(p_last, p_prev, G)
                 self.ptadds += G
             p_last, p_prev = group[-1], group[-2]
 
@@ -341,23 +392,48 @@ class Stage2Runner:
                     [pa_inv, self.one_plane[None]], axis=0)
                 idx = np.stack([entries[pos:hi, 0] - base,
                                 entries[pos:hi, 1]], axis=1).astype(np.int32)
-                # <=512-entry blocks, padded to powers of two with no-op
-                # entries (one - 0); bounds the number of compiled shapes
-                t = idx.shape[0]
-                for lo in range(0, t, 512):
-                    blk = idx[lo:lo + 512]
-                    tb = blk.shape[0]
-                    tpad = 1 << max(0, (tb - 1).bit_length())
-                    if tpad > tb:
-                        pad = np.tile(np.array([[G, 0]], dtype=np.int32),
-                                      (tpad - tb, 1))
-                        blk = np.concatenate([blk, pad], axis=0)
-                    self.acc = _replay_segment(self.acc, pa_inv_ext,
-                                               self.pbx, jnp.asarray(blk),
-                                               self.dctx)
-                self.paired += int(t)
+                self._replay(pa_inv_ext, idx)
+                self.paired += int(idx.shape[0])
                 pos = hi
             base += G
+
+    def _replay(self, pa_inv_ext, idx: np.ndarray):
+        """acc *= prod (Pa_inv[v] - PbX[u]) over the entry list."""
+        G = self.pa_group
+        if self.use_pallas:
+            key = ("replay", G + 1, int(self.pbx.shape[0]),
+                   self.replay_block)
+            if key not in self._cache:
+                from ..limbs import pallas_ops
+                self._cache[key] = pallas_ops.make_replay_executor(
+                    self.ctx, self.b, pa_rows=G + 1,
+                    pb_rows=int(self.pbx.shape[0]),
+                    t_block=self.replay_block)
+            replay = self._cache[key]
+            tb = self.replay_block
+            for lo in range(0, idx.shape[0], tb):
+                blk = idx[lo:lo + tb]
+                if blk.shape[0] < tb:
+                    pad = np.tile(np.array([[G, 0]], dtype=np.int32),
+                                  (tb - blk.shape[0], 1))
+                    blk = np.concatenate([blk, pad], axis=0)
+                self.acc = replay(self.acc, pa_inv_ext,
+                                  self.pbx, jnp.asarray(blk))
+            return
+        # jnp fallback: <=512-entry blocks, padded to powers of two with
+        # no-op entries (one - 0); bounds the number of compiled tree shapes
+        t = idx.shape[0]
+        for lo in range(0, t, 512):
+            blk = idx[lo:lo + 512]
+            tb = blk.shape[0]
+            tpad = 1 << max(0, (tb - 1).bit_length())
+            if tpad > tb:
+                pad = np.tile(np.array([[G, 0]], dtype=np.int32),
+                              (tpad - tb, 1))
+                blk = np.concatenate([blk, pad], axis=0)
+            self.acc = _replay_segment(self.acc, pa_inv_ext,
+                                       self.pbx, jnp.asarray(blk),
+                                       self.dctx)
 
     # -- harvest ------------------------------------------------------------
 
