@@ -71,3 +71,34 @@ def test_pallas_norm_inputs_bitexact():
     got = np.asarray(run(jnp.asarray(pts), jnp.asarray(tape),
                          jnp.asarray(s_const)))
     np.testing.assert_array_equal(got[0], ref[0])
+
+
+def test_pallas_blocked_cios_bitexact(monkeypatch):
+    """Blocked-CIOS mulmod schedule (large-nw mode) must stay bit-identical
+    to the jnp path; forced on via the BLOCKED_NW threshold."""
+    monkeypatch.setattr(pallas_ops, "BLOCKED_NW", 4)
+    ctx = params.make_monty(N64)
+    dctx = jnp_ops.device_ctx(ctx)
+    b = 128
+    pts, s_const, tape = _setup(ctx, b, 40)
+    ref = np.asarray(jax.jit(ops.run_tape)(
+        jnp.asarray(pts), jnp.asarray(tape), jnp.asarray(s_const), dctx))
+    run = pallas_ops.make_tape_executor(ctx, b, chunk=16, interpret=True)
+    got = np.asarray(run(jnp.asarray(pts), jnp.asarray(tape),
+                         jnp.asarray(s_const)))
+    np.testing.assert_array_equal(got[0], ref[0])
+
+
+def test_pallas_blocked_mersenne_bitexact(monkeypatch):
+    """Blocked product + Mersenne fold parity."""
+    monkeypatch.setattr(pallas_ops, "BLOCKED_NW", 4)
+    ctx = params.make_monty(M61, mersenne=(61, 1))
+    dctx = jnp_ops.device_ctx(ctx)
+    b = 128
+    pts, s_const, tape = _setup(ctx, b, 40)
+    ref = np.asarray(jax.jit(ops.run_tape)(
+        jnp.asarray(pts), jnp.asarray(tape), jnp.asarray(s_const), dctx))
+    run = pallas_ops.make_tape_executor(ctx, b, chunk=16, interpret=True)
+    got = np.asarray(run(jnp.asarray(pts), jnp.asarray(tape),
+                         jnp.asarray(s_const)))
+    np.testing.assert_array_equal(got[0], ref[0])

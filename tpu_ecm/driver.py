@@ -275,7 +275,15 @@ class ECMDriver:
     def run(self) -> RunResult:
         cfg = self.cfg
         total = cfg.curves
-        batch = cfg.batch or total
+        if cfg.batch:
+            batch = cfg.batch
+        elif self.use_pallas:
+            # per-chip sweet spot: VMEM/register pressure scales with
+            # nw * batch (measured optima 2048 lanes at nw=40, 896 at nw=93)
+            from .limbs import pallas_ops
+            batch = min(max(total, 128), pallas_ops.default_batch(self.ctx))
+        else:
+            batch = total
         if self.use_pallas:
             # round the device batch to full 128-lane tiles (the reference
             # rounds curves up to threads*VECLEN, /root/reference/main.c:585)

@@ -98,7 +98,9 @@ def log_factor(path: Optional[str], factor: int, stage: int, bound: int,
                curve: int, shard: int, lane: int, sigma: int,
                echo: bool = True) -> str:
     ftype = classify_factor(factor)
-    bname = "B1" if stage == 1 else "B2"
+    # stage 0 = gcd hit during curve construction; label with B1 like the
+    # reference's stage-1 lines (/root/reference/ecm.c:1277-1283)
+    bname = "B1" if stage <= 1 else "B2"
     msg = (f"\nfound {ftype} factor {factor} in stage {stage} "
            f"({bname} = {bound}): curve {curve}, thread {shard}, "
            f"vec {lane}, sigma {sigma}\n")

@@ -41,6 +41,20 @@ OP_NOP = 2
 NUM_SLOTS = 6
 LANE = 128
 
+# beyond ~64 digits the flat mulmod schedule's ~2*nw live column accumulators
+# spill badly enough that the blocked-CIOS schedule (see _make_arith) wins
+# (measured: flat 18.9 vs blocked 20.0 us/step at nw=57/B=1024; blocked 90.6
+# vs flat 96.1 ns/curve at nw=93/B=896)
+BLOCKED_NW = 64
+
+
+def default_batch(ctx: MontyCtx, max_batch: int = 2048) -> int:
+    """Per-chip sweet-spot curve batch: live state scales with nw * batch,
+    measured optima are ~2048 lanes at nw=40 and ~1024 at nw=57, i.e.
+    bs * nw ~ 640."""
+    bs = max(1, min(max_batch // LANE, (640 + ctx.p.nw - 1) // ctx.p.nw))
+    return bs * LANE
+
 
 # ---------------------------------------------------------------------------
 # in-kernel arithmetic on [NW, Bs, 128] values
@@ -64,6 +78,11 @@ def _make_arith(ctx: MontyCtx):
             cols = out
         return cols
 
+    # blocked schedule (the TPU analog of the reference's BLOCKWORDS=4 CIOS,
+    # /root/reference/vecarith52.c:2438): only a BW-column register window
+    # live per block; operand/quotient rows stream (store-once/load-many)
+    BW = 8
+
     def product_cols(ar, br):
         cols = [None] * (2 * nw)
         for i in range(nw):
@@ -72,6 +91,20 @@ def _make_arith(ctx: MontyCtx):
                 t = ar[i] * br[j]
                 cols[k] = t if cols[k] is None else cols[k] + t
         cols[2 * nw - 1] = jnp.zeros_like(cols[0])
+        return cols
+
+    def product_cols_blocked(ar, br):
+        """Same column sums, accumulated in BW-column blocks."""
+        zero = jnp.zeros_like(ar[0])
+        cols = []
+        for lo in range(0, 2 * nw, BW):
+            hi = min(2 * nw, lo + BW)
+            t = [zero] * (hi - lo)
+            for c in range(lo, hi):
+                for i in range(max(0, c - nw + 1), min(nw, c + 1)):
+                    t[c - lo] = t[c - lo] + ar[i] * br[c - i]
+            cols += t
+        cols[2 * nw - 1] = zero
         return cols
 
     def square_cols(ar):
@@ -137,6 +170,53 @@ def _make_arith(ctx: MontyCtx):
                 cols[i + 1] = cols[i + 1] + jnp.right_shift(cols[i], w)
             return jnp.stack(lazy_list(cols[nw:2 * nw]))
 
+        def mont_blocked(ar, br):
+            """Blocked CIOS: pass 1 walks the low columns in BW blocks to
+            produce the quotient digits s[0..nw) and the carry into column
+            nw; pass 2 accumulates the high columns (a*b + s*n) per block.
+            Identical digit values to product_cols+reduce_cols (int32
+            wrapping addition is commutative), ~BW live accumulators."""
+            zero = jnp.zeros_like(ar[0])
+            s = [None] * nw
+            carry = zero
+            for lo in range(0, nw, BW):
+                hi = min(nw, lo + BW)
+                t = [zero] * (hi - lo)
+                for c in range(lo, hi):
+                    for i in range(0, min(nw, c + 1)):
+                        t[c - lo] = t[c - lo] + ar[i] * br[c - i]
+                    for i in range(0, lo):
+                        j = c - i
+                        if j < nw and n_dig[j]:
+                            t[c - lo] = t[c - lo] + s[i] * n_dig[j]
+                t[0] = t[0] + carry
+                for c in range(lo, hi):
+                    sc = jnp.bitwise_and(t[c - lo] * nprime, mask)
+                    s[c] = sc
+                    for c2 in range(c, hi):
+                        if n_dig[c2 - c]:
+                            t[c2 - lo] = t[c2 - lo] + sc * n_dig[c2 - c]
+                    carry = jnp.right_shift(t[c - lo], w)
+                    if c + 1 < hi:
+                        t[c + 1 - lo] = t[c + 1 - lo] + carry
+                # carry flows into the next block's first column
+            out = []
+            for lo in range(nw, 2 * nw, BW):
+                hi = min(2 * nw, lo + BW)
+                t = [zero] * (hi - lo)
+                for c in range(lo, hi):
+                    for i in range(max(0, c - nw + 1), min(nw, c + 1)):
+                        t[c - lo] = t[c - lo] + ar[i] * br[c - i]
+                    for i in range(max(0, c - nw + 1), nw):
+                        j = c - i
+                        if n_dig[j]:
+                            t[c - lo] = t[c - lo] + s[i] * n_dig[j]
+                out += t
+            out[0] = out[0] + carry
+            return jnp.stack(lazy_list(out))
+
+    blocked = nw > BLOCKED_NW
+
     def mulmod(a, b):
         ar = [a[i] for i in range(nw)]
         br = [b[i] for i in range(nw)]
@@ -145,12 +225,21 @@ def _make_arith(ctx: MontyCtx):
             # near 2^w so column sums stay in int32 at large nw
             ar = lazy_list(ar, passes=1)
             br = lazy_list(br, passes=1)
-        return reduce_cols(product_cols(ar, br))
+        if blocked and not ctx.is_mersenne:
+            return mont_blocked(ar, br)
+        pc = product_cols_blocked if blocked else product_cols
+        return reduce_cols(pc(ar, br))
 
     def sqrmod(a):
         ar = [a[i] for i in range(nw)]
         if p.norm_inputs:
             ar = lazy_list(ar, passes=1)
+        if blocked and not ctx.is_mersenne:
+            # square symmetry sacrificed at large nw: register locality of
+            # the blocked schedule outweighs the ~25% fewer multiplies
+            return mont_blocked(ar, ar)
+        if blocked:
+            return reduce_cols(product_cols_blocked(ar, ar))
         return reduce_cols(square_cols(ar))
 
     return mulmod, sqrmod
