@@ -80,7 +80,8 @@ def main():
         def run(pts, tape):
             return runp(pts, tape, s_const)
 
-    tslice = jnp.asarray(tape[:slice_len])
+    # host numpy: the pallas executor slices/uploads fixed-size chunks itself
+    tslice = np.asarray(tape[:slice_len])
     out = run(pts, tslice)
     _ = np.asarray(out)      # sync (compile + first run)
     t0 = time.time()

@@ -137,3 +137,46 @@ def test_checkpoint_written_between_chunks(tmp_path):
     # 2 chunks before the final one, 2 curves each
     assert len(recs) >= 2
     assert all(r.b1 < 900 for r in recs)
+
+
+# Golden sigma sweep (the reference's test_t35.csh strategy, SURVEY.md
+# section 4.2): 128 consecutive pinned sigmas on N71 at B1=2000/B2=2e5; every
+# (factor, stage, sigma) hit below was cross-validated on TPU hardware
+# against the Pallas engine (identical factor/stage/sigma tuples) on
+# 2026-08-16, and the per-entry p/q divisibility of the stage-2 accumulator
+# was spot-checked against the pure-int oracle.  Stage attribution is
+# sensitive to the stage-1/stage-2 boundary, the PRAC planner, the pairing
+# planner, both arithmetic engines, and the grouping-independence of the
+# inversion-failure factor harvest (sigma 126's near-miss: an extra
+# giant-step point beyond the pairmap would hit infinity mod q and leak a
+# grouping-dependent bonus factor if padding rows weren't masked).
+GOLDEN_SWEEP = {
+    (68719476767, 1, 111), (34359738421, 1, 112), (34359738421, 2, 114),
+    (68719476767, 2, 115), (68719476767, 2, 120), (34359738421, 2, 123),
+    (68719476767, 2, 124), (68719476767, 1, 125),
+    (34359738421, 2, 127), (68719476767, 2, 129), (68719476767, 2, 130),
+    (68719476767, 2, 131), (34359738421, 2, 132), (34359738421, 2, 134),
+    (34359738421, 2, 137), (68719476767, 2, 144), (68719476767, 2, 148),
+    (68719476767, 1, 149), (68719476767, 1, 162), (34359738421, 2, 167),
+    (68719476767, 2, 168), (68719476767, 2, 170), (68719476767, 2, 171),
+    (34359738421, 1, 174), (34359738421, 2, 176), (68719476767, 2, 177),
+    (68719476767, 2, 178), (68719476767, 1, 180), (68719476767, 2, 188),
+    (68719476767, 2, 190), (34359738421, 2, 191), (34359738421, 1, 195),
+    (34359738421, 2, 196), (34359738421, 2, 198), (34359738421, 2, 199),
+    (68719476767, 1, 200), (68719476767, 2, 204), (34359738421, 2, 207),
+    (34359738421, 2, 211), (68719476767, 2, 212), (68719476767, 2, 214),
+    (34359738421, 1, 215), (34359738421, 2, 216), (34359738421, 2, 217),
+    (68719476767, 2, 218), (68719476767, 1, 219), (68719476767, 2, 223),
+    (34359738421, 2, 224), (34359738421, 1, 226), (34359738421, 2, 228),
+    (68719476767, 2, 229), (68719476767, 2, 230), (34359738421, 2, 231),
+    (34359738421, 2, 232), (34359738421, 2, 233), (34359738421, 2, 235),
+    (34359738421, 2, 237),
+}
+
+
+def test_golden_sigma_sweep(tmp_path):
+    cfg = _cfg(tmp_path, n=N71, curves=128, b1=2000, b2=200000, sigma=110,
+               stop_on_factor=False)
+    res = driver.ECMDriver(cfg).run()
+    got = {(h.factor, h.stage, h.sigma) for h in res.factors}
+    assert got == GOLDEN_SWEEP

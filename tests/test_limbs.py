@@ -212,7 +212,7 @@ def test_select_radix_large_moduli():
     terminate and stay int32-safe (regression: the w=10 fixed-point analysis
     used to diverge into multi-megabit Python ints at 1000 bits)."""
     w, nw, norm = params.select_radix(416)
-    assert not norm
+    assert (w, nw) == (12, 36)   # largest radix wins even when it needs norm
     for bits in (1000, 1536, 2048):
         w, nw, norm = params.select_radix(bits)
         assert norm and w * (nw - 1) >= bits + 4

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -48,7 +49,9 @@ class RunConfig:
     checkpoint_path: Optional[str] = "checkpoint.txt"
     results_path: Optional[str] = "ecm_results.txt"
     verbose: int = 1
-    cache_dir: Optional[str] = ".cache/tpu_ecm"
+    # MUST be cwd-independent: a relative path would give every working
+    # directory its own cold compilation cache (Mosaic compiles are minutes)
+    cache_dir: Optional[str] = os.path.expanduser("~/.cache/tpu_ecm")
     force_no_mersenne: bool = False
     stop_on_factor: bool = True
     sharder: Optional[object] = None   # parallel.mesh.Sharder

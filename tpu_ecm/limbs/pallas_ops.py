@@ -254,7 +254,9 @@ def _tape_kernel(ctx: MontyCtx, tape_ref, pts_in, s_in, pts_out):
 
     pts_out[...] = pts_in[...]
     s_const = s_in[...]
-    nsteps = tape_ref.shape[0]
+    # tape rides FLAT in SMEM ([5T] int32): a [T, 5] array would be
+    # lane-padded to T*128 words and overflow the 1 MB SMEM at large chunks
+    nsteps = tape_ref.shape[0] // 5
 
     def xdbl(X, Z):
         s_, d_ = X + Z, X - Z
@@ -276,9 +278,10 @@ def _tape_kernel(ctx: MontyCtx, tape_ref, pts_in, s_in, pts_out):
         return jnp.stack([mulmod(t1, pd[1]), mulmod(t2, pd[0])])
 
     def step(k, _):
-        op = tape_ref[k, 0]
-        dst = tape_ref[k, 1]
-        ia, ib, ic = tape_ref[k, 2], tape_ref[k, 3], tape_ref[k, 4]
+        op = tape_ref[5 * k]
+        dst = tape_ref[5 * k + 1]
+        ia, ib, ic = (tape_ref[5 * k + 2], tape_ref[5 * k + 3],
+                      tape_ref[5 * k + 4])
         pa = pts_out[ia]
 
         def do_dup(_):
@@ -544,7 +547,7 @@ def make_replay_executor(ctx: MontyCtx, batch: int, pa_rows: int,
     return run
 
 
-def make_tape_executor(ctx: MontyCtx, batch: int, chunk: int = 1024,
+def make_tape_executor(ctx: MontyCtx, batch: int, chunk: int = 8192,
                        interpret: bool = False):
     """Returns run(pts [S,2,NW,B], tape [T,5], s_const [NW,B]) -> pts.
 
@@ -580,24 +583,26 @@ def make_tape_executor(ctx: MontyCtx, batch: int, chunk: int = 1024,
             vmem_limit_bytes=100 * 1024 * 1024),
     )
 
-    @jax.jit
+    # the chunk loop runs in PYTHON, not lax.scan: the compiled unit is then
+    # the fixed-shape per-chunk kernel, reused for EVERY tape length — a
+    # lax.scan wrapper re-keys the whole program (and re-runs the expensive
+    # Mosaic compile) whenever the tape length changes.  Chunk dispatches
+    # enqueue asynchronously; state stays device-resident via the alias.
+    chunk_call = jax.jit(lambda t, p, s: call(t, p, s), donate_argnums=(1,))
+
     def run(pts, tape, s_const):
-        pts5 = pts.reshape(NUM_SLOTS, 2, nw, bs, LANE)
-        s5 = s_const.reshape(nw, bs, LANE)
-        t = tape.shape[0]
+        pts5 = jnp.asarray(pts).reshape(NUM_SLOTS, 2, nw, bs, LANE)
+        s5 = jnp.asarray(s_const).reshape(nw, bs, LANE)
+        tape_np = np.asarray(tape)
+        t = tape_np.shape[0]
         npad = (-t) % chunk
         if npad:
-            nop = jnp.tile(jnp.asarray([[OP_NOP, NUM_SLOTS - 1, 0, 0, 0]],
-                                       jnp.int32), (npad, 1))
-            tape_p = jnp.concatenate([tape, nop], axis=0)
-        else:
-            tape_p = tape
-        chunks = tape_p.reshape(-1, chunk, 5)
-
-        def body(pts5, tchunk):
-            return call(tchunk, pts5, s5), None
-
-        pts5, _ = jax.lax.scan(body, pts5, chunks)
+            nop = np.tile(np.asarray([[OP_NOP, NUM_SLOTS - 1, 0, 0, 0]],
+                                     np.int32), (npad, 1))
+            tape_np = np.concatenate([tape_np, nop], axis=0)
+        flat = tape_np.reshape(-1)
+        for lo in range(0, flat.shape[0], 5 * chunk):
+            pts5 = chunk_call(jnp.asarray(flat[lo:lo + 5 * chunk]), pts5, s5)
         return pts5.reshape(NUM_SLOTS, 2, nw, batch)
 
     return run

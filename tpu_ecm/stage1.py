@@ -72,7 +72,10 @@ def run_stage1(state: Stage1State, dctx: DeviceCtx, b1: int,
             tape = prac.stage1_tape(sel, b1, include_two=first)
         first = False
         if tape.shape[0]:
-            pts = run_tape(state.pts, jnp.asarray(tape), state.s_const, dctx)
+            # tape stays a host numpy array: the pallas executor slices and
+            # uploads it per fixed-size chunk (jit converts it for the jnp
+            # fallback)
+            pts = run_tape(state.pts, tape, state.s_const, dctx)
             state = Stage1State(pts=pts, s_const=state.s_const)
         last_prime = int(sel[-1]) if sel.size else 2
         yield Stage1Chunk(lo=lo, hi=hi, last_prime=last_prime,

@@ -110,6 +110,11 @@ def _build_pb_table(pt, s_const, mapids, dctx: DeviceCtx,
 
 
 @jax.jit
+def _jit_xdbl(x, z, s_const, dctx: DeviceCtx):
+    return curve_ops.xdbl(x, z, s_const, dctx)
+
+
+@jax.jit
 def _z_prefix(zs, one_plane, dctx: DeviceCtx):
     """Running products of zs[0..K-1] -> [K, NW, B]."""
 
@@ -271,25 +276,39 @@ class Stage2Runner:
         return _apply_inverse(xs, zs, prefix, total_inv, self.one_plane,
                               self.dctx)
 
-    def _extend(self, p1, p2, count: int):
-        """count new giant-step points from carry (p1, p2) = (newest,
-        previous)."""
+    def _extend(self, p1, p2, count: int, pd=None):
+        """count new chain points out[i] = out[i-1] + pd (diff out[i-2]) from
+        carry (p1, p2) = (newest, previous)."""
+        if pd is None:
+            pd = self.pd
         if self.use_pallas:
             from ..limbs import pallas_ops
             if ("chain", count) not in self._cache:
                 self._cache[("chain", count)] = pallas_ops.make_chain_executor(
                     self.ctx, self.b, count)
-            return self._cache[("chain", count)](p1, p2, self.pd)
+            return self._cache[("chain", count)](p1, p2, pd)
         cnt = jnp.zeros((count,), dtype=jnp.int32)
-        return _pa_extend((p1, p2), self.pd, self.s_const, cnt, self.dctx)
+        return _pa_extend((p1, p2), pd, self.s_const, cnt, self.dctx)
 
     # -- phase 2: init ------------------------------------------------------
 
     def init(self):
         sp = self.sp
         mapids = jnp.asarray(sp.rprime_map[3:sp.umax + 1].astype(np.int32))
-        table = _build_pb_table(self.pt, self.s_const, mapids, self.dctx,
-                                sp.umax, sp.num_pb)
+        if self.use_pallas:
+            # the Pb chain S_d = S_{d-1} + Q (diff S_{d-2}) is the same
+            # differential-add chain as the giant steps: reuse the chain
+            # kernel with pd = Q, then one scatter into rprime storage
+            q1 = self.pt
+            x2, z2 = _jit_xdbl(q1[0], q1[1], self.s_const, self.dctx)
+            q2 = jnp.stack([x2, z2])
+            pts = self._extend(q2, q1, sp.umax - 2, pd=q1)
+            nw, b = q1.shape[1], q1.shape[2]
+            table = jnp.zeros((sp.num_pb, 2, nw, b), dtype=jnp.int32)
+            table = table.at[1].set(q1).at[2].set(q2).at[mapids].set(pts)
+        else:
+            table = _build_pb_table(self.pt, self.s_const, mapids, self.dctx,
+                                    sp.umax, sp.num_pb)
         self.ptadds += sp.umax - 2
         # invert Pb[1..num_pb-1].Z into affine-x (Montgomery form)
         inv_x = self._invert_planes(table[1:, 0], table[1:, 1])
@@ -387,7 +406,19 @@ class Stage2Runner:
 
             hi = np.searchsorted(entries[:, 0], base + G)
             if hi > pos:
-                pa_inv = self._invert_planes(group[:, 0], group[:, 1])
+                # mask chain-padding rows (j > max_j) to the Montgomery one
+                # before inversion: otherwise which gcd hits (inversion-
+                # failure factor harvests) get detected would depend on the
+                # group size — fixed sigma must give identical factor finds
+                # for ANY engine/grouping (the reference inverts exactly the
+                # window it uses, ecm.c:2375-2438)
+                valid = max_j - base + 1
+                xs, zs = group[:, 0], group[:, 1]
+                if valid < G:
+                    rows = jnp.arange(G)[:, None, None]
+                    xs = jnp.where(rows < valid, xs, self.one_plane[None])
+                    zs = jnp.where(rows < valid, zs, self.one_plane[None])
+                pa_inv = self._invert_planes(xs, zs)
                 pa_inv_ext = jnp.concatenate(
                     [pa_inv, self.one_plane[None]], axis=0)
                 idx = np.stack([entries[pos:hi, 0] - base,
