@@ -30,9 +30,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    os.makedirs(".cache/jax", exist_ok=True)
+    cache = os.path.expanduser("~/.cache/tpu_ecm")
     try:
-        jax.config.update("jax_compilation_cache_dir", ".cache/jax")
+        jax.config.update("jax_compilation_cache_dir",
+                          f"{cache}/jax-{jax.default_backend()}")
     except Exception:
         pass
 
@@ -50,7 +51,6 @@ def main():
     assert n.bit_length() == 416
     ctx = params.make_monty(n)
 
-    cache = ".cache/tpu_ecm"
     t0 = time.time()
     tape = prac.cached_stage1_tape(primes_range(0, b1), b1, cache,
                                    "bench_full", include_two=True)

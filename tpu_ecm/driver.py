@@ -135,8 +135,13 @@ class ECMDriver:
         import jax
         if cfg.cache_dir:
             try:
-                jax.config.update("jax_compilation_cache_dir",
-                                  cfg.cache_dir + "/jax")
+                # per-backend cache subdir: XLA:CPU AOT executables compiled
+                # by the remote compile service carry that machine's feature
+                # set and can mis-execute locally (observed "prefer-no-
+                # scatter not supported on the host machine" loads)
+                jax.config.update(
+                    "jax_compilation_cache_dir",
+                    f"{cfg.cache_dir}/jax-{jax.default_backend()}")
             except Exception:
                 pass
         self.use_pallas = (cfg.use_pallas if cfg.use_pallas is not None

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -82,32 +81,6 @@ def host_batch_inverse(ctx: MontyCtx, vals_mont: List[int]
 # ---------------------------------------------------------------------------
 # jitted device pieces
 # ---------------------------------------------------------------------------
-
-@partial(jax.jit, static_argnames=("sp_umax", "sp_num_pb"))
-def _build_pb_table(pt, s_const, mapids, dctx: DeviceCtx,
-                    sp_umax: int, sp_num_pb: int):
-    """Baby-step chain S_d = S_{d-1} + S_1 (diff S_{d-2}) for d = 3..U*D,
-    scattered into [num_pb, 2, NW, B] storage via the rprime map
-    (/root/reference/ecm.c:2258-2313).  Slot 0 is scratch."""
-    nw, b = pt.shape[1], pt.shape[2]
-    q1 = pt
-    x2, z2 = curve_ops.xdbl(pt[0], pt[1], s_const, dctx)
-    q2 = jnp.stack([x2, z2])
-
-    def step(carry, mapid):
-        p1, p2 = carry
-        xo, zo = curve_ops.xadd(p1[0], p1[1], q1[0], q1[1],
-                                p2[0], p2[1], dctx)
-        pout = jnp.stack([xo, zo])
-        return (pout, p1), pout
-
-    _, pts = jax.lax.scan(step, (q2, q1), mapids)
-    table = jnp.zeros((sp_num_pb, 2, nw, b), dtype=jnp.int32)
-    table = table.at[1].set(q1)
-    table = table.at[2].set(q2)
-    table = table.at[mapids].set(pts)
-    return table
-
 
 @jax.jit
 def _jit_xdbl(x, z, s_const, dctx: DeviceCtx):
@@ -184,12 +157,15 @@ def _replay_segment(acc, pa_inv_ext, pbx, idx, dctx: DeviceCtx):
 
 
 def _run_ladder(pt, s_const, k: int, dctx: DeviceCtx, run_tape):
-    """[k]P via a host-planned binary-ladder tape (next_pt_vec analog)."""
+    """[k]P via a host-planned binary-ladder tape (next_pt_vec analog).
+    Tapes are NOP-padded to 64-step multiples so varying k re-uses a handful
+    of compiled scan lengths instead of one per distinct k."""
     tape, res_slot = prac.ladder_tape_result_slot(k)
     nw, b = pt.shape[1], pt.shape[2]
     pts = jnp.zeros((curve_ops.NUM_SLOTS, 2, nw, b), dtype=jnp.int32)
     pts = pts.at[0].set(pt)
     if tape.shape[0]:
+        tape = prac.pad_tape(tape, 64)
         pts = run_tape(pts, jnp.asarray(tape), s_const, dctx)
     return jnp.take(pts, res_slot, axis=0)
 
@@ -276,6 +252,27 @@ class Stage2Runner:
         return _apply_inverse(xs, zs, prefix, total_inv, self.one_plane,
                               self.dctx)
 
+    def _invert_planes_grouped(self, xs, zs):
+        """Grouped batch inversion for arbitrary-K stacks (bounds the scan
+        intermediates: at U=16 the Pb table is ~7.7k rows and a single
+        prefix/suffix scan would materialize ~11 GB).  Tail rows are masked
+        to the Montgomery one so the gcd-harvest detection set is exactly
+        the real rows for any grouping."""
+        G = self.pa_group
+        k = int(zs.shape[0])
+        outs = []
+        for lo in range(0, k, G):
+            sx, sz = xs[lo:lo + G], zs[lo:lo + G]
+            cnt = int(sz.shape[0])
+            if cnt < G:
+                pad = jnp.broadcast_to(self.one_plane[None],
+                                       (G - cnt,) + tuple(self.one_plane.shape))
+                sx = jnp.concatenate([sx, pad], axis=0)
+                sz = jnp.concatenate([sz, pad], axis=0)
+            inv = self._invert_planes(sx, sz)
+            outs.append(inv[:cnt])
+        return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
     def _extend(self, p1, p2, count: int, pd=None):
         """count new chain points out[i] = out[i-1] + pd (diff out[i-2]) from
         carry (p1, p2) = (newest, previous)."""
@@ -294,26 +291,48 @@ class Stage2Runner:
 
     def init(self):
         sp = self.sp
-        mapids = jnp.asarray(sp.rprime_map[3:sp.umax + 1].astype(np.int32))
-        if self.use_pallas:
-            # the Pb chain S_d = S_{d-1} + Q (diff S_{d-2}) is the same
-            # differential-add chain as the giant steps: reuse the chain
-            # kernel with pd = Q, then one scatter into rprime storage
-            q1 = self.pt
-            x2, z2 = _jit_xdbl(q1[0], q1[1], self.s_const, self.dctx)
-            q2 = jnp.stack([x2, z2])
-            pts = self._extend(q2, q1, sp.umax - 2, pd=q1)
-            nw, b = q1.shape[1], q1.shape[2]
-            table = jnp.zeros((sp.num_pb, 2, nw, b), dtype=jnp.int32)
-            table = table.at[1].set(q1).at[2].set(q2).at[mapids].set(pts)
-        else:
-            table = _build_pb_table(self.pt, self.s_const, mapids, self.dctx,
-                                    sp.umax, sp.num_pb)
+        # The Pb chain S_d = S_{d-1} + Q (diff S_{d-2}) is the same
+        # differential-add chain as the giant steps: reuse the chain
+        # executor with pd = Q, built in bounded groups (umax = U*D can be
+        # ~37k points = tens of GB if materialized at once).  Each group is
+        # streamed: gather the phi-coprime stored rows, batch-invert them
+        # (non-stored gather slots masked to the Montgomery one so the
+        # gcd-harvest detection set is exactly the stored table, matching
+        # the reference's batch_invert of Pb, ecm.c:2322), and scatter the
+        # affine-x rows straight into pbx — the full [num_pb, 2, ...] table
+        # never exists.
+        q1 = self.pt
+        x2, z2 = _jit_xdbl(q1[0], q1[1], self.s_const, self.dctx)
+        q2 = jnp.stack([x2, z2])
+        nw, b = q1.shape[1], q1.shape[2]
+        inv12 = self._invert_planes_grouped(
+            jnp.stack([q1[0], q2[0]]), jnp.stack([q1[1], q2[1]]))
+        pbx = jnp.zeros((sp.num_pb, nw, b), dtype=jnp.int32)
+        pbx = pbx.at[1].set(inv12[0]).at[2].set(inv12[1])
+        G = self.pa_group
+        rows = jnp.arange(G)[:, None, None]
+        p_last, p_prev = q2, q1
+        for base in range(3, sp.umax + 1, G):
+            cnt = min(G, sp.umax + 1 - base)
+            group = self._extend(p_last, p_prev, G, pd=q1)
+            p_last, p_prev = group[-1], group[-2]
+            slots = sp.rprime_map[base:base + cnt].astype(np.int64)
+            sel = np.nonzero(slots)[0]
+            gi = np.zeros(G, dtype=np.int32)
+            gi[:sel.size] = sel
+            gx = jnp.take(group[:, 0], jnp.asarray(gi), axis=0)
+            gz = jnp.take(group[:, 1], jnp.asarray(gi), axis=0)
+            m = int(sel.size)
+            gx = jnp.where(rows < m, gx, self.one_plane[None])
+            gz = jnp.where(rows < m, gz, self.one_plane[None])
+            inv = self._invert_planes(gx, gz)
+            sl = np.zeros(G, dtype=np.int32)
+            sl[:m] = slots[sel]
+            pbx = pbx.at[jnp.asarray(sl)].set(inv)
+        # padded scatter rows land in slot 0, which must stay the zero row
+        # (replay pad entries read pbx[0] = 0)
+        self.pbx = pbx.at[0].set(jnp.zeros_like(self.one_plane))
         self.ptadds += sp.umax - 2
-        # invert Pb[1..num_pb-1].Z into affine-x (Montgomery form)
-        inv_x = self._invert_planes(table[1:, 0], table[1:, 1])
-        self.pbx = jnp.concatenate(
-            [jnp.zeros_like(inv_x[:1]), inv_x], axis=0)
         # Pd = [D]Q (not inverted), /root/reference/ecm.c:2331-2334
         self.pd = _run_ladder(self.pt, self.s_const, sp.D, self.dctx,
                               self.run_tape)
