@@ -10,6 +10,7 @@ the device batch here — parallelism is the sharded curve axis, not pthreads).
 
 from __future__ import annotations
 
+import os
 import sys
 
 from .. import driver
@@ -17,6 +18,16 @@ from . import calc as _calc
 
 
 def main(argv=None) -> int:
+    # honor JAX_PLATFORMS even when a sitecustomize re-forces its own
+    # platform after env processing (observed with the axon TPU plugin:
+    # `JAX_PLATFORMS=cpu` was silently ignored without this)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat and "," not in plat:
+        try:
+            import jax
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     argv = list(sys.argv[1:] if argv is None else argv)
     if len(argv) < 3:
         print("usage: avx-ecm-tpu $input $numcurves $B1 [$batch] [$B2] [$sigma]")

@@ -1,1 +1,2 @@
 from .mesh import Sharder  # noqa: F401
+from . import distributed  # noqa: F401
