@@ -180,3 +180,45 @@ def test_golden_sigma_sweep(tmp_path):
     res = driver.ECMDriver(cfg).run()
     got = {(h.factor, h.stage, h.sigma) for h in res.factors}
     assert got == GOLDEN_SWEEP
+
+
+# The reference's t35 acceptance sweep (test_t35.csh + the curated sigma
+# list embedded at /root/reference/ecm.c:2138-2189): 50 sigmas on the
+# 90-digit composite, each must surface the P31 factor at B1=1e6/B2=1e8.
+# Opt-in (hours on the CPU jnp path; ~100 s on a TPU v5e where it was last
+# validated 2026-08-16: 5 stage-1 hits + 45 stage-2 hits, factor
+# 1147161816393958657432308670357 for every sigma).
+N90_T35 = 142946323174762557214361604817789197531833590620956958433836799929503392464892596183803921
+T35_SIGMAS = [
+    11919771003873180376, 827341355533811391, 6409678826612327146,
+    13778091190526084667, 10019108749973911965, 10593445070074576128,
+    16327347202299112611, 13768494887674349585, 17303758977955016383,
+    2123812563661387803, 2330438305415445111, 12942218412106273630,
+    5427613898610684157, 13727269399001077418, 3087408422684406072,
+    8338236510647016635, 18232185847183255223, 5070879816975737551,
+    9793972958987869750, 1683842010542383008, 16668736769625151751,
+    11148653366342049109, 6736437364141805734, 8860111571919296085,
+    15708855786729755459, 4263089024287634346, 10705409183485702771,
+    5104801995378138195, 9551766994217130412, 17824508581606173922,
+    4444245868135963544, 14755844915853888743, 4749513976499976002,
+    3933740986814285076, 2498288573977543008, 18051693002182940438,
+    421313926042840093, 1659254194582388863, 13762123388521706810,
+    1318769405167840394, 14979751960240161797, 4989253092822783329,
+    14628970911725975539, 4759771957864370849, 17870405635651283010,
+    472060146, 3776270672, 3954243165, 2576580518, 416265588,
+]
+T35_FACTOR = 1147161816393958657432308670357
+
+
+@pytest.mark.skipif(not os.environ.get("TPU_ECM_SLOW"),
+                    reason="full t35 sweep: set TPU_ECM_SLOW=1 (run on TPU)")
+def test_t35_sweep(tmp_path):
+    cfg = _cfg(tmp_path, n=N90_T35, curves=128, b1=1_000_000,
+               b2=100_000_000, sigma=1, batch=128, stop_on_factor=False)
+    d = driver.ECMDriver(cfg)
+    sigmas = T35_SIGMAS + [10**6 + i for i in range(128 - len(T35_SIGMAS))]
+    d.run_batch(sigmas, 0)
+    hit = {h.sigma for h in d.factors if h.factor % T35_FACTOR == 0
+           or T35_FACTOR % h.factor == 0 or h.factor == T35_FACTOR}
+    missing = [s for s in T35_SIGMAS if s not in hit]
+    assert not missing, missing

@@ -1,23 +1,30 @@
-"""Stage-2 device execution: baby-step table, giant-step windows, pairmap
-replay, and batched inversion with a single host modinv per window.
+"""Stage-2 device execution: streamed baby-step table, global giant-step
+chain, bulk batched inversion, and pairmap replay.
 
 Mirrors ecm_stage2_init / ecm_stage2_pair (/root/reference/ecm.c:2201-2540)
 with the TPU host/device split:
 
-* the Pb chain and Pa windows are lax.scans of differential adds;
-* Montgomery's inversion trick runs on device across the *point table* and
-  continues on the host across the *curve batch* (all curves share N), so
-  each table entry costs 3 muls and the whole batch costs ONE modular
-  inverse per window — versus one mpz_invert per SIMD lane per window in
-  the reference (/root/reference/ecm.c:1919-1950);
+* the window-relative pairmap is flattened to GLOBAL giant-step indices
+  (j = v - amin0 + U*s) so a prime chunk becomes one gather list; points
+  are built in fixed-size groups on one differential-add chain (a Pallas
+  chain kernel on TPU, lax.scan on CPU);
+* Montgomery's inversion trick runs on device across each *point group*
+  (Pallas prefix/apply kernels) and continues on the host across the
+  *curve batch* (all curves share N): ONE modular inverse per group for
+  the whole batch — versus one mpz_invert per SIMD lane per 2U-point
+  window in the reference (/root/reference/ecm.c:1919-1950).  Padding
+  rows are masked to the Montgomery one so the gcd-harvest detection set
+  is identical for any grouping/engine;
 * a curve whose Z-product is not invertible has gcd(Z..., N) > 1: that gcd
   is a factor, harvested exactly like the reference's inversion-failure
   path (/root/reference/ecm.c:1927-1939);
-* the host-planned pairmap (stage2/plan.py) is replayed as a scan of
-  gather-subtract-multiply steps: acc *= Pa_inv[pa] - PbX[pb]
-  (CROSS_PRODUCT_INV, /root/reference/ecm.c:1857-1859); segments are padded
-  to power-of-two lengths with (one - 0) no-op entries to bound the number
-  of compiled shapes.
+* the replay acc *= Pa_inv[pa] - PbX[pb] (CROSS_PRODUCT_INV,
+  /root/reference/ecm.c:1857-1859) runs as a Pallas kernel whose scalar-
+  prefetched indices drive pipelined row gathers (jnp gather + log-depth
+  multiply tree on CPU); no-op pad entries multiply by (one - 0);
+* the Pb baby-step table streams: chain group -> gather stored rows ->
+  invert -> scatter affine-x into pbx; the full U*D-point table (tens of
+  GB at U=16) never materializes.
 """
 
 from __future__ import annotations
