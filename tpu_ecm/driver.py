@@ -29,7 +29,7 @@ from . import params as _params
 from . import stage1 as _stage1
 from .curve import suyama
 from .io import savefile
-from .limbs import jnp_ops, layout
+from .limbs import jnp_ops
 from .primes import PrimeStream
 from .stage2 import exec as s2exec
 from .stage2 import plan as s2plan

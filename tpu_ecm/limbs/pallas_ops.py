@@ -23,7 +23,7 @@ and cross-checked against the int oracle).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+
 
 import jax
 import jax.numpy as jnp
@@ -31,8 +31,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..params import ArithParams, MontyCtx
-from .. import params as _params
+from ..params import MontyCtx
 from . import layout as _layout
 
 OP_DUP = 0
