@@ -477,6 +477,7 @@ def make_apply_inverse_executor(ctx: MontyCtx, batch: int, count: int,
 
 def make_replay_executor(ctx: MontyCtx, batch: int, pa_rows: int,
                          pb_rows: int, t_block: int = 2048,
+                         entries_per_step: int = 4,
                          interpret: bool = False):
     """Stage-2 pairmap replay kernel: acc *= (Pa_inv[v] - PbX[u]) per entry
     (CROSS_PRODUCT_INV, /root/reference/ecm.c:1857-1859).
@@ -484,19 +485,27 @@ def make_replay_executor(ctx: MontyCtx, batch: int, pa_rows: int,
     Returns run(acc [NW,B], pa_ext [pa_rows,NW,B], pbx [pb_rows,NW,B],
     idx [t_block,2] int32) -> acc.
 
-    The grid walks the entry list; the scalar-prefetched idx drives the
-    BlockSpec index maps, so each step's Pa/Pb rows are DMA-gathered from HBM
-    into VMEM by the pipeline (double-buffered) while the accumulator stays
-    resident in VMEM across the whole block.  Pad entries with
+    The grid walks the entry list E = entries_per_step at a time; the
+    scalar-prefetched idx drives the BlockSpec index maps, so each step's
+    Pa/Pb rows are DMA-gathered from HBM into VMEM by the pipeline
+    (double-buffered) while the accumulator stays resident in VMEM across
+    the whole block.  E entries per step amortize the per-step pipeline
+    overhead and shorten the sequential acc chain (the E differences
+    multiply in a tree before touching acc).  Pad entries with
     (pa_rows-1, 0) where pa_ext[-1] is the Montgomery one and pbx[0] is
     zero: acc *= one is value-preserving.
     """
     p = ctx.p
     nw = p.nw
     assert batch % LANE == 0
+    assert t_block % entries_per_step == 0
     bs = batch // LANE
+    E = entries_per_step
+    nsteps = t_block // E
 
-    def kernel(idx_ref, pa_row, pb_row, acc_in, acc_out, acc_scr):
+    def kernel(idx_ref, *refs):
+        rows = refs[:2 * E]           # pa0, pb0, pa1, pb1, ...
+        acc_in, acc_out, acc_scr = refs[2 * E], refs[2 * E + 1], refs[-1]
         mulmod, _ = _make_arith(ctx)
         i = pl.program_id(0)
 
@@ -504,22 +513,32 @@ def make_replay_executor(ctx: MontyCtx, batch: int, pa_rows: int,
         def _():
             acc_scr[...] = acc_in[...]
 
-        acc_scr[...] = mulmod(acc_scr[...], pa_row[0] - pb_row[0])
+        diffs = [rows[2 * k][0] - rows[2 * k + 1][0] for k in range(E)]
+        while len(diffs) > 1:
+            diffs = ([mulmod(diffs[j], diffs[j + 1])
+                      for j in range(0, len(diffs) - 1, 2)]
+                     + ([diffs[-1]] if len(diffs) % 2 else []))
+        acc_scr[...] = mulmod(acc_scr[...], diffs[0])
 
-        @pl.when(i == t_block - 1)
+        @pl.when(i == nsteps - 1)
         def _():
             acc_out[...] = acc_scr[...]
 
+    # idx rides flat in SMEM ([2T] int32; a [T,2] array would get
+    # lane-padded to T*128 words and overflow SMEM)
+    gather_specs = []
+    for k in range(E):
+        gather_specs.append(pl.BlockSpec(
+            (1, nw, bs, LANE),
+            lambda i, idx, k=k: (idx[2 * (E * i + k)], 0, 0, 0)))
+        gather_specs.append(pl.BlockSpec(
+            (1, nw, bs, LANE),
+            lambda i, idx, k=k: (idx[2 * (E * i + k) + 1], 0, 0, 0)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(t_block,),
-        in_specs=[
-            # idx rides flat in SMEM ([2T] int32; a [T,2] array would get
-            # lane-padded to T*128 words and overflow SMEM)
-            pl.BlockSpec((1, nw, bs, LANE),
-                         lambda i, idx: (idx[2 * i], 0, 0, 0)),
-            pl.BlockSpec((1, nw, bs, LANE),
-                         lambda i, idx: (idx[2 * i + 1], 0, 0, 0)),
+        grid=(nsteps,),
+        in_specs=gather_specs + [
             pl.BlockSpec((nw, bs, LANE), lambda i, idx: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((nw, bs, LANE), lambda i, idx: (0, 0, 0)),
@@ -540,7 +559,8 @@ def make_replay_executor(ctx: MontyCtx, batch: int, pa_rows: int,
         acc4 = acc.reshape(nw, bs, LANE)
         pa4 = pa_ext.reshape(pa_rows, nw, bs, LANE)
         pb4 = pbx.reshape(pb_rows, nw, bs, LANE)
-        out = call(idx.reshape(2 * t_block), pa4, pb4, acc4)
+        gathers = [pa4, pb4] * E
+        out = call(idx.reshape(2 * t_block), *gathers, acc4)
         return out.reshape(nw, batch)
 
     return run
