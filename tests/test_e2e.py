@@ -222,3 +222,20 @@ def test_t35_sweep(tmp_path):
            or T35_FACTOR % h.factor == 0 or h.factor == T35_FACTOR}
     missing = [s for s in T35_SIGMAS if s not in hit]
     assert not missing, missing
+
+
+def test_mersenne_factor_pinned(tmp_path):
+    """Mersenne-path factor finds with pinned sigmas (searched on TPU
+    2026-08-16): on 2^101-1, sigma 511 hits P13 7432339208719 in stage 1 at
+    B1=1e4 and sigma 502 hits it in stage 2 at B2=1e6 — exercises the fold
+    arithmetic, the vnhat work-mod-M trick, and both factor paths."""
+    m101 = (1 << 101) - 1
+    cfg = _cfg(tmp_path, n=m101, curves=12, b1=10_000, b2=1_000_000,
+               sigma=500, stop_on_factor=False)
+    d = driver.ECMDriver(cfg)
+    assert d.ctx.is_mersenne and d.ctx.mersenne_e == 101
+    res = d.run()
+    hits = {(h.sigma, h.stage) for h in res.factors
+            if h.factor == 7432339208719}
+    assert (511, 1) in hits, sorted(hits)
+    assert (502, 2) in hits, sorted(hits)

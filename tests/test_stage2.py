@@ -197,3 +197,43 @@ def test_stage2_pallas_kernels_parity():
     app_got = pallas_ops.make_apply_inverse_executor(
         ctx, b, K, interpret=True)(xs, zs, pres, tinv)
     np.testing.assert_array_equal(np.asarray(app_got), np.asarray(app_ref))
+
+
+def test_replay_kernel_value_parity():
+    """Pallas replay kernel (E entries per grid step) vs a sequential jnp
+    reference: values mod n must match (tree multiplication order differs,
+    digit representations may too)."""
+    import random
+    import jax.numpy as jnp
+    from tpu_ecm.limbs import jnp_ops, layout, pallas_ops
+    n = 2545580083 * 2551628647
+    ctx = params.make_monty(n)
+    dctx = jnp_ops.device_ctx(ctx)
+    p = ctx.p
+    b = 128
+    rng = random.Random(3)
+    PA, PB, T = 17, 9, 16
+
+    def mk(rows):
+        return np.stack([layout.pack_batch(
+            [rng.randrange(n) for _ in range(b)], p.w, p.nw)
+            for _ in range(rows)])
+
+    pa, pb = mk(PA), mk(PB)
+    pa[-1] = layout.broadcast_int(ctx.r_mod_n, p.w, p.nw, b)
+    pb[0] = 0
+    acc0 = layout.pack_batch([rng.randrange(n) for _ in range(b)], p.w, p.nw)
+    idx = np.stack([np.array([rng.randrange(PA - 1) for _ in range(T)]),
+                    np.array([rng.randrange(1, PB) for _ in range(T)])],
+                   1).astype(np.int32)
+    acc = jnp.asarray(acc0)
+    for v, u in idx.tolist():
+        acc = jnp_ops.mulmod(acc, jnp.asarray(pa[v] - pb[u]), dctx)
+    ref = layout.unpack_batch(np.asarray(acc), p.w)
+    run = pallas_ops.make_replay_executor(ctx, b, PA, PB, t_block=T,
+                                          interpret=True)
+    got = layout.unpack_batch(np.asarray(
+        run(jnp.asarray(acc0), jnp.asarray(pa), jnp.asarray(pb),
+            jnp.asarray(idx))), p.w)
+    for i in range(b):
+        assert got[i] % n == ref[i] % n, i
