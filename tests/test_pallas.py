@@ -73,6 +73,25 @@ def test_pallas_norm_inputs_bitexact():
     np.testing.assert_array_equal(got[0], ref[0])
 
 
+@pytest.mark.parametrize("n,mers", [(N64, None), (M61, (61, 1))])
+def test_pallas_karatsuba_bitexact(monkeypatch, n, mers):
+    """One-level Karatsuba product/square schedule (headline-nw mode) must
+    stay bit-identical to the jnp schoolbook path; forced on via the KARA_NW
+    threshold."""
+    monkeypatch.setattr(pallas_ops, "KARA_NW", 4)
+    ctx = params.make_monty(n, mersenne=mers)
+    assert ctx.p.nw >= 4 and ctx.p.nw <= pallas_ops.BLOCKED_NW
+    dctx = jnp_ops.device_ctx(ctx)
+    b = 128
+    pts, s_const, tape = _setup(ctx, b, 40)
+    ref = np.asarray(jax.jit(ops.run_tape)(
+        jnp.asarray(pts), jnp.asarray(tape), jnp.asarray(s_const), dctx))
+    run = pallas_ops.make_tape_executor(ctx, b, chunk=16, interpret=True)
+    got = np.asarray(run(jnp.asarray(pts), jnp.asarray(tape),
+                         jnp.asarray(s_const)))
+    np.testing.assert_array_equal(got[0], ref[0])
+
+
 def test_pallas_blocked_cios_bitexact(monkeypatch):
     """Blocked-CIOS mulmod schedule (large-nw mode) must stay bit-identical
     to the jnp path; forced on via the BLOCKED_NW threshold."""

@@ -232,6 +232,9 @@ class ECMDriver:
         for chunk, state in _stage1.run_stage1(
                 state, self.dctx, cfg.b1, self.stream,
                 cache_dir=cfg.cache_dir, run_tape=run_tape):
+            for k in ("ptadds", "ptdups", "numprimes"):
+                self.counters[k] = (self.counters.get(k, 0)
+                                    + getattr(chunk, k))
             if not chunk.is_final:
                 # mid-stage-1 checkpoint (/root/reference/ecm.c:1236-1312)
                 xs, zs = _stage1.extract_point(state, ctx)
@@ -241,6 +244,13 @@ class ECMDriver:
         xs, zs = _stage1.extract_point(state, ctx)
         self.timings["stage1"] = (self.timings.get("stage1", 0)
                                   + time.time() - t0)
+        if cfg.verbose >= 2:
+            # mirrors "Stage 1 completed, %u point-adds, %u point-doubles"
+            # (/root/reference/ecm.c:1849-1850)
+            print(f"Stage 1 completed, {self.counters.get('ptadds', 0)} "
+                  f"point-adds, {self.counters.get('ptdups', 0)} "
+                  f"point-doubles over {self.counters.get('numprimes', 0)} "
+                  f"primes")
         self._check_batch(zs, sigmas, 1, cfg.b1, base_idx)
         self._write_save(cfg.save_b1_path, sigmas, xs, zs, cfg.b1)
         residues = [(s, x, z) for s, x, z in zip(sigmas, xs, zs)]

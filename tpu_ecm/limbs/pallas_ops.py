@@ -46,6 +46,10 @@ LANE = 128
 # vs flat 96.1 ns/curve at nw=93/B=896)
 BLOCKED_NW = 64
 
+# one-level Karatsuba pays for its combine adds once the halves are big
+# enough; below this the plain schoolbook schedule is denser
+KARA_NW = 20
+
 
 def default_batch(ctx: MontyCtx, max_batch: int = 2048) -> int:
     """Per-chip sweet-spot curve batch: live state scales with nw * batch,
@@ -91,6 +95,66 @@ def _make_arith(ctx: MontyCtx):
                 cols[k] = t if cols[k] is None else cols[k] + t
         cols[2 * nw - 1] = jnp.zeros_like(cols[0])
         return cols
+
+    def _school(ar, br):
+        cols = [None] * (len(ar) + len(br) - 1)
+        for i in range(len(ar)):
+            for j in range(len(br)):
+                t = ar[i] * br[j]
+                k = i + j
+                cols[k] = t if cols[k] is None else cols[k] + t
+        return cols
+
+    def _school_sqr(ar):
+        la = len(ar)
+        cols = [None] * (2 * la - 1)
+        for i in range(la):
+            for j in range(i + 1, la):
+                t = ar[i] * ar[j]
+                k = i + j
+                cols[k] = t if cols[k] is None else cols[k] + t
+        cols = [None if c is None else c + c for c in cols]
+        for i in range(la):
+            d = ar[i] * ar[i]
+            cols[2 * i] = d if cols[2 * i] is None else cols[2 * i] + d
+        return cols
+
+    def _kara_cols(ar, br):
+        """One-level Karatsuba column sums: ~25% fewer multiplies than
+        schoolbook at the headline nw.  Final column values are the exact
+        schoolbook integers (int32 add/sub is exact mod 2^32 and every true
+        column value fits int32 per the _digit_bound_fixed_point analysis),
+        so REDC and the lazy passes see bit-identical inputs."""
+        sqr = br is None
+        nh = nw // 2
+        a0, a1 = ar[:nh], ar[nh:]
+        sa = [a0[i] + a1[i] for i in range(nh)] + list(a1[nh:])
+        if sqr:
+            z0, z2, zm = _school_sqr(a0), _school_sqr(a1), _school_sqr(sa)
+        else:
+            b0, b1 = br[:nh], br[nh:]
+            sb = [b0[i] + b1[i] for i in range(nh)] + list(b1[nh:])
+            z0 = _school(a0, b0)
+            z2 = _school(a1, b1)
+            zm = _school(sa, sb)
+        z1 = list(zm)
+        for k, c in enumerate(z0):
+            z1[k] = z1[k] - c
+        for k, c in enumerate(z2):
+            z1[k] = z1[k] - c
+        out = [None] * (2 * nw)
+
+        def acc(idx, c):
+            out[idx] = c if out[idx] is None else out[idx] + c
+
+        for k, c in enumerate(z0):
+            acc(k, c)
+        for k, c in enumerate(z1):
+            acc(nh + k, c)
+        for k, c in enumerate(z2):
+            acc(2 * nh + k, c)
+        zero = jnp.zeros_like(ar[0])
+        return [zero if c is None else c for c in out]
 
     def product_cols_blocked(ar, br):
         """Same column sums, accumulated in BW-column blocks."""
@@ -226,8 +290,11 @@ def _make_arith(ctx: MontyCtx):
             br = lazy_list(br, passes=1)
         if blocked and not ctx.is_mersenne:
             return mont_blocked(ar, br)
-        pc = product_cols_blocked if blocked else product_cols
-        return reduce_cols(pc(ar, br))
+        if blocked:
+            return reduce_cols(product_cols_blocked(ar, br))
+        if nw >= KARA_NW:
+            return reduce_cols(_kara_cols(ar, br))
+        return reduce_cols(product_cols(ar, br))
 
     def sqrmod(a):
         ar = [a[i] for i in range(nw)]
@@ -239,6 +306,8 @@ def _make_arith(ctx: MontyCtx):
             return mont_blocked(ar, ar)
         if blocked:
             return reduce_cols(product_cols_blocked(ar, ar))
+        if nw >= KARA_NW:
+            return reduce_cols(_kara_cols(ar, None))
         return reduce_cols(square_cols(ar))
 
     return mulmod, sqrmod

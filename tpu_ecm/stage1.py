@@ -51,6 +51,9 @@ class Stage1Chunk:
     hi: int
     last_prime: int      # largest prime consumed (for checkpoint labels)
     is_final: bool
+    ptadds: int = 0      # ADD steps executed (ecm_work counters,
+    ptdups: int = 0      # /root/reference/avx_ecm.h:248-252, ecm.c:1849-1850)
+    numprimes: int = 0
 
 
 def run_stage1(state: Stage1State, dctx: DeviceCtx, b1: int,
@@ -78,8 +81,12 @@ def run_stage1(state: Stage1State, dctx: DeviceCtx, b1: int,
             pts = run_tape(state.pts, tape, state.s_const, dctx)
             state = Stage1State(pts=pts, s_const=state.s_const)
         last_prime = int(sel[-1]) if sel.size else 2
+        ops_col = tape[:, 0] if tape.shape[0] else np.zeros(0, np.int32)
         yield Stage1Chunk(lo=lo, hi=hi, last_prime=last_prime,
-                          is_final=hi >= b1), state
+                          is_final=hi >= b1,
+                          ptadds=int(np.count_nonzero(ops_col == ops.OP_ADD)),
+                          ptdups=int(np.count_nonzero(ops_col == ops.OP_DUP)),
+                          numprimes=int(sel.size)), state
 
 
 def extract_point(state: Stage1State, ctx: MontyCtx,
