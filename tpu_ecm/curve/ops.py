@@ -37,26 +37,29 @@ NUM_SLOTS = 6  # P + {A,B,C,T} + 1 spare for renaming
 
 def xdbl(X: jax.Array, Z: jax.Array, s_const: jax.Array, ctx: DeviceCtx
          ) -> Tuple[jax.Array, jax.Array]:
-    s_, d_ = jnp_ops.addsubmod(X, Z, ctx)
-    v = jnp_ops.sqrmod(d_, ctx)
-    u = jnp_ops.sqrmod(s_, ctx)
-    x2 = jnp_ops.mulmod(u, v, ctx)
-    w_ = jnp_ops.submod(u, v, ctx)
-    t = jnp_ops.mulmod(w_, s_const, ctx)
-    z2 = jnp_ops.mulmod(jnp_ops.addmod(t, v, ctx), w_, ctx)
+    # every mulmod operand is pre-safe: mulmod outputs / stored points /
+    # s_const directly, add-sub results via the normalizing *_n variants —
+    # one lazy pass per produced value instead of one per mulmod entry
+    s_, d_ = jnp_ops.addsubmod_n(X, Z, ctx)
+    v = jnp_ops.sqrmod(d_, ctx, pre=True)
+    u = jnp_ops.sqrmod(s_, ctx, pre=True)
+    x2 = jnp_ops.mulmod(u, v, ctx, pre=True)
+    w_ = jnp_ops.submod_n(u, v, ctx)
+    t = jnp_ops.mulmod(w_, s_const, ctx, pre=True)
+    z2 = jnp_ops.mulmod(jnp_ops.addmod_n(t, v, ctx), w_, ctx, pre=True)
     return x2, z2
 
 
 def xadd(X1, Z1, X2, Z2, Xd, Zd, ctx: DeviceCtx) -> Tuple[jax.Array, jax.Array]:
-    s1, d1 = jnp_ops.addsubmod(X1, Z1, ctx)
-    s2, d2 = jnp_ops.addsubmod(X2, Z2, ctx)
-    u = jnp_ops.mulmod(d1, s2, ctx)
-    v = jnp_ops.mulmod(s1, d2, ctx)
-    sp, dm = jnp_ops.addsubmod(u, v, ctx)
-    t1 = jnp_ops.sqrmod(sp, ctx)
-    t2 = jnp_ops.sqrmod(dm, ctx)
-    xo = jnp_ops.mulmod(t1, Zd, ctx)
-    zo = jnp_ops.mulmod(t2, Xd, ctx)
+    s1, d1 = jnp_ops.addsubmod_n(X1, Z1, ctx)
+    s2, d2 = jnp_ops.addsubmod_n(X2, Z2, ctx)
+    u = jnp_ops.mulmod(d1, s2, ctx, pre=True)
+    v = jnp_ops.mulmod(s1, d2, ctx, pre=True)
+    sp, dm = jnp_ops.addsubmod_n(u, v, ctx)
+    t1 = jnp_ops.sqrmod(sp, ctx, pre=True)
+    t2 = jnp_ops.sqrmod(dm, ctx, pre=True)
+    xo = jnp_ops.mulmod(t1, Zd, ctx, pre=True)
+    zo = jnp_ops.mulmod(t2, Xd, ctx, pre=True)
     return xo, zo
 
 

@@ -87,6 +87,26 @@ def addsubmod(a: jax.Array, b: jax.Array, ctx: DeviceCtx
     return a + b, a - b
 
 
+def _norm_out(t: jax.Array, ctx: DeviceCtx) -> jax.Array:
+    """Make an add/sub result safe as a prenormalized mulmod operand: in
+    norm_inputs mode apply the one lazy pass here (once per value) instead
+    of at every mulmod entry (once per use)."""
+    return _lazy_pass(t, ctx.p.w) if ctx.p.norm_inputs else t
+
+
+def addmod_n(a: jax.Array, b: jax.Array, ctx: DeviceCtx) -> jax.Array:
+    return _norm_out(a + b, ctx)
+
+
+def submod_n(a: jax.Array, b: jax.Array, ctx: DeviceCtx) -> jax.Array:
+    return _norm_out(a - b, ctx)
+
+
+def addsubmod_n(a: jax.Array, b: jax.Array, ctx: DeviceCtx
+                ) -> Tuple[jax.Array, jax.Array]:
+    return _norm_out(a + b, ctx), _norm_out(a - b, ctx)
+
+
 # ---------------------------------------------------------------------------
 # lazy carry normalization
 # ---------------------------------------------------------------------------
@@ -242,9 +262,14 @@ def _mersenne_reduce(t: jax.Array, ctx: DeviceCtx) -> jax.Array:
 # public mulmod / sqrmod
 # ---------------------------------------------------------------------------
 
-def mulmod(a: jax.Array, b: jax.Array, ctx: DeviceCtx) -> jax.Array:
-    """Modular product of digit planes (vecmulmod52 / vecmulmod52_mersenne)."""
-    if ctx.p.norm_inputs:
+def mulmod(a: jax.Array, b: jax.Array, ctx: DeviceCtx, *,
+           pre: bool = False) -> jax.Array:
+    """Modular product of digit planes (vecmulmod52 / vecmulmod52_mersenne).
+
+    pre=True asserts both operands are already safe (mulmod outputs, packed
+    host values, or *_n add/sub results) and skips the norm_inputs entry
+    passes."""
+    if ctx.p.norm_inputs and not pre:
         a = _lazy_pass(a, ctx.p.w)
         b = _lazy_pass(b, ctx.p.w)
     t = _product_columns(a, b)
@@ -253,9 +278,9 @@ def mulmod(a: jax.Array, b: jax.Array, ctx: DeviceCtx) -> jax.Array:
     return lazy_normalize(_redc(t, ctx), ctx.p.w)
 
 
-def sqrmod(a: jax.Array, ctx: DeviceCtx) -> jax.Array:
+def sqrmod(a: jax.Array, ctx: DeviceCtx, *, pre: bool = False) -> jax.Array:
     """Modular square (vecsqrmod52 analog, symmetric half-product)."""
-    if ctx.p.norm_inputs:
+    if ctx.p.norm_inputs and not pre:
         a = _lazy_pass(a, ctx.p.w)
     t = _square_columns(a)
     if ctx.is_mersenne:

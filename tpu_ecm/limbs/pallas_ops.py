@@ -280,10 +280,18 @@ def _make_arith(ctx: MontyCtx):
 
     blocked = nw > BLOCKED_NW
 
-    def mulmod(a, b):
+    def norm1(x):
+        """One lazy pass on a stacked value — makes an add/sub result safe
+        as a pre-normalized mulmod operand (identical digit semantics to
+        jnp_ops._lazy_pass, so engines stay bit-identical)."""
+        if not p.norm_inputs:
+            return x
+        return jnp.stack(lazy_list([x[i] for i in range(nw)], passes=1))
+
+    def mulmod(a, b, pre=False):
         ar = [a[i] for i in range(nw)]
         br = [b[i] for i in range(nw)]
-        if p.norm_inputs:
+        if p.norm_inputs and not pre:
             # entry lazy pass (top guard row unsplit): keeps operand digits
             # near 2^w so column sums stay in int32 at large nw
             ar = lazy_list(ar, passes=1)
@@ -296,9 +304,9 @@ def _make_arith(ctx: MontyCtx):
             return reduce_cols(_kara_cols(ar, br))
         return reduce_cols(product_cols(ar, br))
 
-    def sqrmod(a):
+    def sqrmod(a, pre=False):
         ar = [a[i] for i in range(nw)]
-        if p.norm_inputs:
+        if p.norm_inputs and not pre:
             ar = lazy_list(ar, passes=1)
         if blocked and not ctx.is_mersenne:
             # square symmetry sacrificed at large nw: register locality of
@@ -310,7 +318,7 @@ def _make_arith(ctx: MontyCtx):
             return reduce_cols(_kara_cols(ar, None))
         return reduce_cols(square_cols(ar))
 
-    return mulmod, sqrmod
+    return mulmod, sqrmod, norm1
 
 
 # ---------------------------------------------------------------------------
@@ -318,7 +326,7 @@ def _make_arith(ctx: MontyCtx):
 # ---------------------------------------------------------------------------
 
 def _tape_kernel(ctx: MontyCtx, tape_ref, pts_in, s_in, pts_out):
-    mulmod, sqrmod = _make_arith(ctx)
+    mulmod, sqrmod, norm1 = _make_arith(ctx)
 
     pts_out[...] = pts_in[...]
     s_const = s_in[...]
@@ -327,23 +335,27 @@ def _tape_kernel(ctx: MontyCtx, tape_ref, pts_in, s_in, pts_out):
     nsteps = tape_ref.shape[0] // 5
 
     def xdbl(X, Z):
-        s_, d_ = X + Z, X - Z
-        v = sqrmod(d_)
-        u = sqrmod(s_)
-        x2 = mulmod(u, v)
-        w_ = u - v
-        t = mulmod(w_, s_const)
-        z2 = mulmod(t + v, w_)
+        # mirror curve.ops.xdbl exactly: add/sub results take ONE lazy pass
+        # (norm1), every mulmod operand is then pre-safe — halves the
+        # norm_inputs entry-pass count per point-op
+        s_, d_ = norm1(X + Z), norm1(X - Z)
+        v = sqrmod(d_, pre=True)
+        u = sqrmod(s_, pre=True)
+        x2 = mulmod(u, v, pre=True)
+        w_ = norm1(u - v)
+        t = mulmod(w_, s_const, pre=True)
+        z2 = mulmod(norm1(t + v), w_, pre=True)
         return jnp.stack([x2, z2])
 
     def xadd(pa, pb, pd):
-        s1, d1 = pa[0] + pa[1], pa[0] - pa[1]
-        s2, d2 = pb[0] + pb[1], pb[0] - pb[1]
-        u = mulmod(d1, s2)
-        v = mulmod(s1, d2)
-        t1 = sqrmod(u + v)
-        t2 = sqrmod(u - v)
-        return jnp.stack([mulmod(t1, pd[1]), mulmod(t2, pd[0])])
+        s1, d1 = norm1(pa[0] + pa[1]), norm1(pa[0] - pa[1])
+        s2, d2 = norm1(pb[0] + pb[1]), norm1(pb[0] - pb[1])
+        u = mulmod(d1, s2, pre=True)
+        v = mulmod(s1, d2, pre=True)
+        t1 = sqrmod(norm1(u + v), pre=True)
+        t2 = sqrmod(norm1(u - v), pre=True)
+        return jnp.stack([mulmod(t1, pd[1], pre=True),
+                          mulmod(t2, pd[0], pre=True)])
 
     def step(k, _):
         op = tape_ref[5 * k]
@@ -371,16 +383,18 @@ def _tape_kernel(ctx: MontyCtx, tape_ref, pts_in, s_in, pts_out):
 def _point_ops(ctx: MontyCtx):
     """xadd/xdbl on [2, NW, Bs, 128] points built over _make_arith (same
     formulas as curve.ops / the tape executor)."""
-    mulmod, sqrmod = _make_arith(ctx)
+    mulmod, sqrmod, norm1 = _make_arith(ctx)
 
     def xadd(pa, pb, pd):
-        s1, d1 = pa[0] + pa[1], pa[0] - pa[1]
-        s2, d2 = pb[0] + pb[1], pb[0] - pb[1]
-        u = mulmod(d1, s2)
-        v = mulmod(s1, d2)
-        t1 = sqrmod(u + v)
-        t2 = sqrmod(u - v)
-        return jnp.stack([mulmod(t1, pd[1]), mulmod(t2, pd[0])])
+        # mirrors curve.ops.xadd (norm1-at-addsub, pre-safe mulmod operands)
+        s1, d1 = norm1(pa[0] + pa[1]), norm1(pa[0] - pa[1])
+        s2, d2 = norm1(pb[0] + pb[1]), norm1(pb[0] - pb[1])
+        u = mulmod(d1, s2, pre=True)
+        v = mulmod(s1, d2, pre=True)
+        t1 = sqrmod(norm1(u + v), pre=True)
+        t2 = sqrmod(norm1(u - v), pre=True)
+        return jnp.stack([mulmod(t1, pd[1], pre=True),
+                          mulmod(t2, pd[0], pre=True)])
 
     return mulmod, sqrmod, xadd
 
@@ -455,7 +469,7 @@ def make_prefix_executor(ctx: MontyCtx, batch: int, count: int,
     bs = batch // LANE
 
     def kernel(z_row, one_in, out, acc):
-        mulmod, _ = _make_arith(ctx)
+        mulmod, _, _ = _make_arith(ctx)
 
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -505,7 +519,7 @@ def make_apply_inverse_executor(ctx: MontyCtx, batch: int, count: int,
     bs = batch // LANE
 
     def kernel(x_row, z_row, pre_row, tinv_in, out, suf):
-        mulmod, _ = _make_arith(ctx)
+        mulmod, _, _ = _make_arith(ctx)
 
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -575,7 +589,7 @@ def make_replay_executor(ctx: MontyCtx, batch: int, pa_rows: int,
     def kernel(idx_ref, *refs):
         rows = refs[:2 * E]           # pa0, pb0, pa1, pb1, ...
         acc_in, acc_out, acc_scr = refs[2 * E], refs[2 * E + 1], refs[-1]
-        mulmod, _ = _make_arith(ctx)
+        mulmod, _, _ = _make_arith(ctx)
         i = pl.program_id(0)
 
         @pl.when(i == 0)
