@@ -43,6 +43,18 @@ def test_stage1_finds_factor(tmp_path):
     assert str(P35) in open(cfg.results_path).read()
 
 
+def test_even_input_strips_twos(tmp_path):
+    """Even inputs must not crash Montgomery setup: powers of 2 are divided
+    out up front, reported as trivial factors, and the odd part still runs
+    (and stop_on_factor ignores the trivial hit)."""
+    cfg = _cfg(tmp_path, n=8 * N71, curves=4, b1=300, b2=300, sigma=172)
+    res = driver.ECMDriver(cfg).run()
+    assert any(h.factor == 2 and h.stage == 0 for h in res.factors)
+    assert any(h.factor == P35 and h.stage == 1 for h in res.factors)
+    with pytest.raises(ValueError):
+        driver.ECMDriver(_cfg(tmp_path, n=64, curves=1, b1=100))
+
+
 def test_stage2_finds_factor(tmp_path):
     cfg = _cfg(tmp_path, n=N71, curves=4, b1=300, b2=10000, sigma=110)
     res = driver.ECMDriver(cfg).run()

@@ -123,6 +123,18 @@ def check_factor(z: int, n: int) -> Optional[int]:
 class ECMDriver:
     def __init__(self, cfg: RunConfig):
         self.cfg = cfg
+        # Montgomery arithmetic needs an odd modulus: divide out powers of 2
+        # up front and report them as trivial factors
+        self._even_factor = 0
+        n = cfg.n
+        while n % 2 == 0 and n > 1:
+            n //= 2
+            self._even_factor += 1
+        if self._even_factor and cfg.verbose:
+            print(f"dividing out factor 2^{self._even_factor}")
+        if n == 1:
+            raise ValueError("input is a power of 2; nothing to run ECM on")
+        cfg = self.cfg = dataclasses.replace(cfg, n=n)
         if cfg.b2 is None:
             self.b2 = 100 * cfg.b1
             self.do_stage2 = cfg.do_stage2
@@ -153,6 +165,10 @@ class ECMDriver:
         self.factors: List[FactorHit] = []
         self.timings: Dict[str, float] = {}
         self.counters: Dict[str, int] = {}
+        if self._even_factor:
+            self._report_factor(2, 0, 0, 0, cfg.b1)
+        # trivial up-front factors must not trip stop_on_factor
+        self._initial_hits = len(self.factors)
 
     # ------------------------------------------------------------------
 
@@ -319,7 +335,7 @@ class ECMDriver:
                 print(f"Commencing curves {done}-{done + b - 1} of {total}")
             residues += self.run_batch(sigmas, done)
             done += b
-            if self.factors and cfg.stop_on_factor:
+            if len(self.factors) > self._initial_hits and cfg.stop_on_factor:
                 break
         return RunResult(n=cfg.n, work_modulus=self.ctx.n_int,
                          factors=self.factors, curves_run=done,
