@@ -199,7 +199,8 @@ def test_stage2_pallas_kernels_parity():
     np.testing.assert_array_equal(np.asarray(app_got), np.asarray(app_ref))
 
 
-def test_replay_kernel_value_parity():
+@pytest.mark.parametrize("entries_per_step", [4, 8])
+def test_replay_kernel_value_parity(entries_per_step):
     """Pallas replay kernel (E entries per grid step) vs a sequential jnp
     reference: values mod n must match (tree multiplication order differs,
     digit representations may too)."""
@@ -231,6 +232,7 @@ def test_replay_kernel_value_parity():
         acc = jnp_ops.mulmod(acc, jnp.asarray(pa[v] - pb[u]), dctx)
     ref = layout.unpack_batch(np.asarray(acc), p.w)
     run = pallas_ops.make_replay_executor(ctx, b, PA, PB, t_block=T,
+                                          entries_per_step=entries_per_step,
                                           interpret=True)
     got = layout.unpack_batch(np.asarray(
         run(jnp.asarray(acc0), jnp.asarray(pa), jnp.asarray(pb),

@@ -465,7 +465,8 @@ class Stage2Runner:
                 self._cache[key] = pallas_ops.make_replay_executor(
                     self.ctx, self.b, pa_rows=G + 1,
                     pb_rows=int(self.pbx.shape[0]),
-                    t_block=self.replay_block)
+                    t_block=self.replay_block,
+                    entries_per_step=8)  # 2.28 -> 2.13 us/entry vs E=4
             replay = self._cache[key]
             tb = self.replay_block
             for lo in range(0, idx.shape[0], tb):
