@@ -222,6 +222,34 @@ T35_SIGMAS = [
 T35_FACTOR = 1147161816393958657432308670357
 
 
+# Two acceptance rows ported from the reference's regression list
+# (/root/reference/test.csh:16,13 — the stage-1-only "#passed" cases small
+# enough to run in minutes).  Factors and sigmas pinned from a TPU v5e run
+# 2026-08-17: each base sigma finds its factor in stage 1, matching the
+# reference's pass criterion.
+TESTCSH_CASES = [
+    # (input, b1, base sigma, expected factor at that sigma)
+    (int("1715273161932708715071084358934602467469827122991716223500103230"
+         "23149618461701108180621787596877308885636902619030669"),
+     250_000, 3462348953, 32232915983117755997770028617),
+    (int("9204766253166356539084248235108466315091724380490146496419709373"
+         "3017673896259378196247891860624551698300716957203"),
+     1_000_000, 1355166397, 934755100218937800337186649945447),
+]
+
+
+@pytest.mark.skipif(not os.environ.get("TPU_ECM_SLOW"),
+                    reason="test.csh acceptance rows: set TPU_ECM_SLOW=1")
+@pytest.mark.parametrize("n,b1,sigma,factor", TESTCSH_CASES)
+def test_testcsh_acceptance(tmp_path, n, b1, sigma, factor):
+    assert n % factor == 0
+    cfg = _cfg(tmp_path, n=n, curves=8, b1=b1, b2=b1, sigma=sigma,
+               stop_on_factor=False)
+    res = driver.ECMDriver(cfg).run()
+    assert any(h.factor == factor and h.stage == 1 and h.sigma == sigma
+               for h in res.factors), res.factors
+
+
 @pytest.mark.skipif(not os.environ.get("TPU_ECM_SLOW"),
                     reason="full t35 sweep: set TPU_ECM_SLOW=1 (run on TPU)")
 def test_t35_sweep(tmp_path):
