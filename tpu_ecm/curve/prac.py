@@ -37,9 +37,20 @@ VAL = (0.61803398874989485, 0.72360679774997897, 0.58017872829546410,
        0.61807966846989581)
 
 
+# Optionally use the full 9-condition PRAC rule set — the analog of the
+# reference's ORIG_PRAC variant (/root/reference/ecm.c:461-467).  Every
+# extra rule (1, 2, 6, 7, 8) preserves the invariant p = d*mult(A) +
+# e*mult(B) with C = +-(A - B) (checked symbolically by validate_tape and
+# numerically by the oracle tests).  Measured on the B1=1e6 schedule the
+# full set is 0.08% MORE expensive at ADD=5.5/DUP=4.5 weights — the same
+# reason the reference ships with it disabled — so the default is the
+# reduced 3/4/5/9 set; the flag exists for parity and experimentation.
+FULL_PRAC = False
+
+
 def lucas_cost(n: int, v: float) -> float:
-    """Weighted mul count of the PRAC chain for n at ratio v
-    (conditions 3/4/5/9 only, squares at 0.75 mul)."""
+    """Weighted mul count of the PRAC chain for n at ratio v (branch order
+    identical to prac_tape)."""
     d = n
     r = int(d * v + 0.5)
     if r >= n:
@@ -47,10 +58,17 @@ def lucas_cost(n: int, v: float) -> float:
     d = n - r
     e = 2 * r - n
     c = DUP_COST + ADD_COST
+    full = FULL_PRAC
     while d != e:
         if d < e:
             d, e = e, d
-        if (d + 3) // 4 <= e:
+        if full and 4 * d <= 5 * e and (d + e) % 3 == 0:
+            d, e = (2 * d - e) // 3, (2 * e - d) // 3
+            c += 3 * ADD_COST
+        elif full and 4 * d <= 5 * e and (d - e) % 6 == 0:
+            d = (d - e) // 2
+            c += ADD_COST + DUP_COST
+        elif (d + 3) // 4 <= e:
             d -= e
             c += ADD_COST
         elif (d + e) % 2 == 0:
@@ -59,6 +77,15 @@ def lucas_cost(n: int, v: float) -> float:
         elif d % 2 == 0:
             d //= 2
             c += ADD_COST + DUP_COST
+        elif full and d % 3 == 0:
+            d = d // 3 - e
+            c += 3 * ADD_COST + DUP_COST
+        elif full and (d + e) % 3 == 0:
+            d = (d - 2 * e) // 3
+            c += 3 * ADD_COST + DUP_COST
+        elif full and (d - e) % 3 == 0:
+            d = (d - e) // 3
+            c += 3 * ADD_COST + DUP_COST
         else:
             e //= 2
             c += ADD_COST + DUP_COST
@@ -88,7 +115,7 @@ class _RegFile:
     """
 
     def __init__(self):
-        self.v2p = {"A": None, "B": 0, "C": 0, "T": None}
+        self.v2p = {"A": None, "B": 0, "C": 0, "T": None, "T2": None}
 
     def slot(self, v: str) -> int:
         s = self.v2p[v]
@@ -132,11 +159,31 @@ def prac_tape(p: int, out: List[Tuple[int, int, int, int, int]]) -> None:
     # A = 2P; B = C = P  (/root/reference/ecm.c:601-613)
     out.append((OP_DUP, rf.write_target("A"), 0, 0, 0))
 
+    full = FULL_PRAC
     while d != e:
         if d < e:
             d, e = e, d
             rf.rename({"A": "B", "B": "A"})
-        if (d + 3) // 4 <= e:
+        if full and 4 * d <= 5 * e and (d + e) % 3 == 0:
+            # condition 1: T = A+B (diff C); T2 = T+A (diff B);
+            # B = T+B (diff A); A = T2   [C unchanged: +-(A'-B') = +-(a-b)]
+            d, e = (2 * d - e) // 3, (2 * e - d) // 3
+            sa, sb, sc = rf.slot("A"), rf.slot("B"), rf.slot("C")
+            st = rf.write_target("T")
+            out.append((OP_ADD, st, sa, sb, sc))
+            st2 = rf.write_target("T2")
+            out.append((OP_ADD, st2, st, sa, sb))
+            dst = rf.write_target("B")
+            out.append((OP_ADD, dst, st, sb, sa))
+            rf.rename({"A": "T2"})
+        elif full and 4 * d <= 5 * e and (d - e) % 6 == 0:
+            # condition 2: B = A + B (diff C); A = 2A
+            d = (d - e) // 2
+            sa, sb, sc = rf.slot("A"), rf.slot("B"), rf.slot("C")
+            dst = rf.write_target("B")
+            out.append((OP_ADD, dst, sa, sb, sc))
+            out.append((OP_DUP, rf.write_target("A"), sa, 0, 0))
+        elif (d + 3) // 4 <= e:
             # condition 3: T = B + A (diff C); then rotate (B,T,C) <- (T,C,B)
             d -= e
             sb, sa, sc = rf.slot("B"), rf.slot("A"), rf.slot("C")
@@ -157,6 +204,47 @@ def prac_tape(p: int, out: List[Tuple[int, int, int, int, int]]) -> None:
             dst = rf.write_target("C")
             out.append((OP_ADD, dst, sc, sa, sb))
             out.append((OP_DUP, rf.write_target("A"), sa, 0, 0))
+        elif full and d % 3 == 0:
+            # condition 6: T = 2A; T2 = A+B (diff C); A = T+A (diff A);
+            # B = T+T2 (diff C) written onto T2's slot; C = old B
+            # (the new +-(A-B) = 3a-(3a+b) is the OLD b)
+            d = d // 3 - e
+            sa, sb, sc = rf.slot("A"), rf.slot("B"), rf.slot("C")
+            st = rf.write_target("T")
+            out.append((OP_DUP, st, sa, 0, 0))
+            st2 = rf.write_target("T2")
+            out.append((OP_ADD, st2, sa, sb, sc))
+            dst = rf.write_target("A")
+            out.append((OP_ADD, dst, st, sa, sa))
+            out.append((OP_ADD, st2, st, st2, sc))
+            rf.rename({"B": "T2", "C": "B"})
+        elif full and (d + e) % 3 == 0:
+            # condition 7: T = A+B (diff C); B = T+A (diff B); T2 = 2A;
+            # A = T2+A (diff A)
+            d = (d - 2 * e) // 3
+            sa, sb, sc = rf.slot("A"), rf.slot("B"), rf.slot("C")
+            st = rf.write_target("T")
+            out.append((OP_ADD, st, sa, sb, sc))
+            dst = rf.write_target("B")
+            out.append((OP_ADD, dst, st, sa, sb))
+            st2 = rf.write_target("T2")
+            out.append((OP_DUP, st2, sa, 0, 0))
+            dst = rf.write_target("A")
+            out.append((OP_ADD, dst, st2, sa, sa))
+        elif full and (d - e) % 3 == 0:
+            # condition 8: T = A+B (diff C); C = C+A (diff B); B = T;
+            # T2 = 2A; A = T2+A (diff A)
+            d = (d - e) // 3
+            sa, sb, sc = rf.slot("A"), rf.slot("B"), rf.slot("C")
+            st = rf.write_target("T")
+            out.append((OP_ADD, st, sa, sb, sc))
+            dst = rf.write_target("C")
+            out.append((OP_ADD, dst, sc, sa, sb))
+            rf.rename({"B": "T"})
+            st2 = rf.write_target("T2")
+            out.append((OP_DUP, st2, sa, 0, 0))
+            dst = rf.write_target("A")
+            out.append((OP_ADD, dst, st2, sa, sa))
         else:
             # condition 9: C = C + B (diff A); B = 2B
             e //= 2
@@ -167,6 +255,33 @@ def prac_tape(p: int, out: List[Tuple[int, int, int, int, int]]) -> None:
     assert d == 1, f"PRAC chain failure for {p}"
     # final: P = A + B (diff C)  (/root/reference/ecm.c:868-873)
     out.append((OP_ADD, 0, rf.slot("A"), rf.slot("B"), rf.slot("C")))
+
+
+def validate_tape(tape, k: int) -> None:
+    """Symbolically execute a chain tape over sign-free integer multiples
+    and assert every differential add is legal: xADD(X, Y, D) computes
+    X+Y given D = +-(X-Y), or X-Y given D = +-(X+Y); anything else is a
+    planner bug.  Slot 0 starts as [1]P and must end as [k]P."""
+    mult = [None] * NUM_SLOTS
+    mult[0] = 1
+    for entry in tape:
+        op, dst, a, b, c = (int(x) for x in entry)
+        if op == OP_DUP:
+            assert mult[a] is not None
+            mult[dst] = 2 * mult[a]
+        elif op == OP_ADD:
+            x, y, dd = mult[a], mult[b], mult[c]
+            assert None not in (x, y, dd), (x, y, dd)
+            if dd == abs(x - y):
+                mult[dst] = x + y
+            elif dd == x + y:
+                mult[dst] = abs(x - y)
+            else:
+                raise AssertionError(
+                    f"illegal diff: |{x}-{y}| or {x}+{y} != {dd}")
+        else:  # NOP / padding
+            mult[dst] = mult[a]
+    assert mult[0] == k, (mult[0], k)
 
 
 def ladder_tape(k: int, out: List[Tuple[int, int, int, int, int]]) -> None:
@@ -304,7 +419,8 @@ def cached_stage1_tape(primes: Sequence[int], b1: int, cache_dir: str,
                        chunk_key: str, include_two: bool) -> np.ndarray:
     """Disk-cached stage1 tape (tapes depend only on (B1, prime chunk))."""
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, f"s1tape_{b1}_{chunk_key}.npy")
+    variant = "_orig" if FULL_PRAC else ""
+    path = os.path.join(cache_dir, f"s1tape{variant}_{b1}_{chunk_key}.npy")
     if os.path.exists(path):
         return np.load(path)
     tape = stage1_tape(primes, b1, include_two=include_two)
