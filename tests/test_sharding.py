@@ -75,3 +75,33 @@ def test_driver_with_sharder(tmp_path):
         cache_dir=str(tmp_path / "cache"), verbose=0)
     res = driver.ECMDriver(cfg).run()
     assert any(h.factor == P35 for h in res.factors)
+
+
+def test_multihost_union_equals_single_run(tmp_path):
+    """Multi-host partitioning invariant: two 'hosts' running disjoint
+    sigma ranges (parallel.distributed.host_sigma_base) must together find
+    exactly the factor set of one run over the whole range — the
+    reference's determinism-across-threads property lifted to hosts
+    (no cross-host collectives exist in the compute path)."""
+    from tpu_ecm import driver
+    from tpu_ecm.parallel import distributed
+    P35, P36 = 34359738421, 68719476767
+    n = P35 * P36
+
+    def run(curves, sigma, tag):
+        cfg = driver.RunConfig(
+            n=n, curves=curves, b1=300, b2=20000, sigma=sigma,
+            stop_on_factor=False, verbose=0,
+            save_b1_path=None, checkpoint_path=None,
+            results_path=str(tmp_path / f"r{tag}.txt"),
+            cache_dir=str(tmp_path / "cache"))
+        res = driver.ECMDriver(cfg).run()
+        return {(h.factor, h.stage, h.sigma) for h in res.factors}
+
+    total, nproc = 64, 2
+    per_host = total // nproc
+    union = set()
+    for pid in range(nproc):
+        base = distributed.host_sigma_base(110, pid, per_host)
+        union |= run(per_host, base, f"h{pid}")
+    assert union == run(total, 110, "all")
