@@ -228,25 +228,33 @@ T35_FACTOR = 1147161816393958657432308670357
 # 2026-08-17: each base sigma finds its factor in stage 1, matching the
 # reference's pass criterion.
 TESTCSH_CASES = [
-    # (input, b1, base sigma, expected factor at that sigma)
+    # (input, b1, b2, base sigma, expected factor at that sigma, stage)
     (int("1715273161932708715071084358934602467469827122991716223500103230"
          "23149618461701108180621787596877308885636902619030669"),
-     250_000, 3462348953, 32232915983117755997770028617),
+     250_000, 250_000, 3462348953, 32232915983117755997770028617, 1),
     (int("9204766253166356539084248235108466315091724380490146496419709373"
          "3017673896259378196247891860624551698300716957203"),
-     1_000_000, 1355166397, 934755100218937800337186649945447),
+     1_000_000, 1_000_000, 1355166397, 934755100218937800337186649945447, 1),
+    # 195-digit homogeneous Cunningham (test.csh:9, 648-bit): stage-2 find,
+    # fully factors the input (PRP151 cofactor); ~17 min on one v5e chip
+    (int("7372793354101765316718587746625129802699896157840083073727933541"
+         "0176531671858774662512980269989615784008307372793354101765316718"
+         "5877466251298026998961578400830737279335410176531671858774662512"
+         "98027"),
+     1_500_000, 100_000_000, 987115356,
+     18195047252241968932445162733612535247087014043, 2),
 ]
 
 
 @pytest.mark.skipif(not os.environ.get("TPU_ECM_SLOW"),
                     reason="test.csh acceptance rows: set TPU_ECM_SLOW=1")
-@pytest.mark.parametrize("n,b1,sigma,factor", TESTCSH_CASES)
-def test_testcsh_acceptance(tmp_path, n, b1, sigma, factor):
+@pytest.mark.parametrize("n,b1,b2,sigma,factor,stage", TESTCSH_CASES)
+def test_testcsh_acceptance(tmp_path, n, b1, b2, sigma, factor, stage):
     assert n % factor == 0
-    cfg = _cfg(tmp_path, n=n, curves=8, b1=b1, b2=b1, sigma=sigma,
+    cfg = _cfg(tmp_path, n=n, curves=8, b1=b1, b2=b2, sigma=sigma,
                stop_on_factor=False)
     res = driver.ECMDriver(cfg).run()
-    assert any(h.factor == factor and h.stage == 1 and h.sigma == sigma
+    assert any(h.factor == factor and h.stage == stage and h.sigma == sigma
                for h in res.factors), res.factors
 
 
