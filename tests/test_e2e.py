@@ -235,7 +235,7 @@ TESTCSH_CASES = [
     (int("9204766253166356539084248235108466315091724380490146496419709373"
          "3017673896259378196247891860624551698300716957203"),
      1_000_000, 1_000_000, 1355166397, 934755100218937800337186649945447, 1),
-    # 195-digit homogeneous Cunningham (test.csh:9, 648-bit): stage-2 find,
+    # 197-digit homogeneous Cunningham (test.csh:9, 648-bit): stage-2 find,
     # fully factors the input (PRP151 cofactor); ~17 min on one v5e chip
     (int("7372793354101765316718587746625129802699896157840083073727933541"
          "0176531671858774662512980269989615784008307372793354101765316718"
