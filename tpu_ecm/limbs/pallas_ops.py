@@ -49,6 +49,11 @@ BLOCKED_NW = 64
 # one-level Karatsuba pays for its combine adds once the halves are big
 # enough; below this the plain schoolbook schedule is denser
 KARA_NW = 20
+# recursion floor: _kara_gen splits operands while len >= KARA_MIN.
+# 10 gives two levels at the 416-bit headline (nw=36): 7.38 -> 6.98
+# us/step vs one level (int32 multiply costs more issue slots than add);
+# deeper (8/6) measured 7.09 — combine adds win below ~10 digits
+KARA_MIN = 10
 
 
 def default_batch(ctx: MontyCtx, max_batch: int = 2048) -> int:
@@ -119,30 +124,34 @@ def _make_arith(ctx: MontyCtx):
             cols[2 * i] = d if cols[2 * i] is None else cols[2 * i] + d
         return cols
 
-    def _kara_cols(ar, br):
-        """One-level Karatsuba column sums: ~25% fewer multiplies than
-        schoolbook at the headline nw.  Final column values are the exact
-        schoolbook integers (int32 add/sub is exact mod 2^32 and every true
-        column value fits int32 per the _digit_bound_fixed_point analysis),
-        so REDC and the lazy passes see bit-identical inputs."""
+    def _kara_gen(ar, br):
+        """Recursive Karatsuba column sums (br=None for squaring), exact in
+        wrapping int32: intermediates may wrap mod 2^32 but the assembled
+        columns are the schoolbook integers, which fit int32 by the
+        _digit_bound_fixed_point analysis — only +,-,* touch the values
+        before assembly, never shifts."""
+        la = len(ar)
+        if la < KARA_MIN:
+            return _school_sqr(ar) if br is None else _school(ar, br)
         sqr = br is None
-        nh = nw // 2
+        nh = la // 2
         a0, a1 = ar[:nh], ar[nh:]
         sa = [a0[i] + a1[i] for i in range(nh)] + list(a1[nh:])
         if sqr:
-            z0, z2, zm = _school_sqr(a0), _school_sqr(a1), _school_sqr(sa)
+            z0, z2, zm = _kara_gen(a0, None), _kara_gen(a1, None), \
+                _kara_gen(sa, None)
         else:
             b0, b1 = br[:nh], br[nh:]
             sb = [b0[i] + b1[i] for i in range(nh)] + list(b1[nh:])
-            z0 = _school(a0, b0)
-            z2 = _school(a1, b1)
-            zm = _school(sa, sb)
+            z0 = _kara_gen(a0, b0)
+            z2 = _kara_gen(a1, b1)
+            zm = _kara_gen(sa, sb)
         z1 = list(zm)
         for k, c in enumerate(z0):
             z1[k] = z1[k] - c
         for k, c in enumerate(z2):
             z1[k] = z1[k] - c
-        out = [None] * (2 * nw)
+        out = [None] * (la + len(br or ar) - 1)
 
         def acc(idx, c):
             out[idx] = c if out[idx] is None else out[idx] + c
@@ -153,8 +162,15 @@ def _make_arith(ctx: MontyCtx):
             acc(nh + k, c)
         for k, c in enumerate(z2):
             acc(2 * nh + k, c)
+        return out
+
+    def _kara_cols(ar, br):
+        """Karatsuba column sums padded to the 2*nw REDC layout (~25% fewer
+        multiplies per level; bit-identical results)."""
+        cols = _kara_gen(ar, br)
         zero = jnp.zeros_like(ar[0])
-        return [zero if c is None else c for c in out]
+        return [zero if c is None else c for c in cols] \
+            + [zero] * (2 * nw - len(cols))
 
     def product_cols_blocked(ar, br):
         """Same column sums, accumulated in BW-column blocks."""
