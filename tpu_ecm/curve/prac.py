@@ -388,7 +388,9 @@ def stage1_tape(primes: Sequence[int], b1: int, *, include_two: bool = True,
     Dispatches to the C++ planner (tpu_ecm/native/planner.cpp, bit-identical
     output) when available.
     """
-    if allow_native:
+    # the C++ planner implements only the default 3/4/5/9 rule set; the
+    # FULL_PRAC variant must plan in Python
+    if allow_native and not FULL_PRAC:
         try:
             from ..native import lib as _native
             if _native.available():
