@@ -55,6 +55,29 @@ def test_even_input_strips_twos(tmp_path):
         driver.ECMDriver(_cfg(tmp_path, n=64, curves=1, b1=100))
 
 
+def test_structure_checks_short_circuit(tmp_path):
+    """Perfect powers factor their base; probable-prime inputs (and prime
+    bases) run zero curves and are reported as PRP hits (the GMP-ECM-style
+    up-front structure checks; the reference would run curves whose every
+    gcd hits n itself)."""
+    r = driver.ECMDriver(_cfg(tmp_path, n=9, curves=2, b1=100)).run()
+    assert any(h.factor == 3 for h in r.factors) and r.curves_run == 0
+    r = driver.ECMDriver(_cfg(tmp_path, n=101, curves=2, b1=100)).run()
+    assert any(h.factor == 101 and h.is_prp for h in r.factors)
+    assert r.curves_run == 0
+    r = driver.ECMDriver(_cfg(tmp_path, n=8 * 101, curves=2, b1=100)).run()
+    assert {h.factor for h in r.factors} == {2, 101}
+    # composite non-power inputs still run normally
+    r = driver.ECMDriver(_cfg(tmp_path, n=15, curves=2, b1=100,
+                              sigma=20)).run()
+    assert r.curves_run > 0
+
+
+def test_calc_huge_sqrt():
+    big = (10 ** 400 + 7) ** 2
+    assert _calc.calc(f"sqrt({big})") == 10 ** 400 + 7
+
+
 def test_stage2_finds_factor(tmp_path):
     cfg = _cfg(tmp_path, n=N71, curves=4, b1=300, b2=10000, sigma=110)
     res = driver.ECMDriver(cfg).run()

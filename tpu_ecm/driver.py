@@ -134,6 +134,18 @@ class ECMDriver:
             print(f"dividing out factor 2^{self._even_factor}")
         if n == 1:
             raise ValueError("input is a power of 2; nothing to run ECM on")
+        # perfect powers: every curve's gcd would hit n itself — factor the
+        # base instead (factors lift to n); GMP-ECM-style structure check
+        pp = _params.perfect_power(n)
+        if pp is not None:
+            base, k = pp
+            if cfg.verbose:
+                print(f"input is a perfect power: {base}^{k}; "
+                      f"factoring the base")
+            n = base
+        # a probable-prime input needs no curves at all
+        self._prp_input = (n > 1 and
+                           savefile.classify_factor(n).startswith("PRP"))
         cfg = self.cfg = dataclasses.replace(cfg, n=n)
         if cfg.b2 is None:
             self.b2 = 100 * cfg.b1
@@ -141,6 +153,17 @@ class ECMDriver:
         else:
             self.b2 = cfg.b2
             self.do_stage2 = cfg.do_stage2 and cfg.b2 > cfg.b1
+        if self._prp_input:
+            if cfg.verbose:
+                print(f"input {n} is a probable prime; nothing to run")
+            self.factors = []
+            self.timings = {}
+            self.counters = {}
+            if self._even_factor:
+                self._report_factor(2, 0, 0, 0, cfg.b1)
+            self._report_factor(n, 0, 0, 0, cfg.b1)
+            self._initial_hits = len(self.factors)
+            return
         self.ctx = prepare_context(cfg.n, cfg.force_no_mersenne, cfg.verbose)
         self.dctx = jnp_ops.device_ctx(self.ctx)
         self.stream = PrimeStream(cfg.prime_chunk or PrimeStream().chunk)
@@ -308,6 +331,10 @@ class ECMDriver:
 
     def run(self) -> RunResult:
         cfg = self.cfg
+        if self._prp_input:
+            return RunResult(n=cfg.n, work_modulus=cfg.n,
+                             factors=self.factors, curves_run=0,
+                             stage1_residues=[], timings={}, counters={})
         total = cfg.curves
         if cfg.batch:
             batch = cfg.batch

@@ -71,14 +71,9 @@ def _jacobi(a: int, n: int) -> int:
 def _nroot(x: int, k: int) -> int:
     if x < 0:
         raise CalcError("nroot of negative")
-    if x == 0:
-        return 0
-    r = int(round(x ** (1.0 / k)))
-    while r ** k > x:
-        r -= 1
-    while (r + 1) ** k <= x:
-        r += 1
-    return r
+    # exact integer Newton (float seeds overflow beyond ~2^1024)
+    from ..params import iroot
+    return iroot(x, k)
 
 
 _FUNCS = {

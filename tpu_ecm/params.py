@@ -249,6 +249,40 @@ def strip_algebraic_factors(n: int, e: int, c: int) -> int:
     return g
 
 
+def iroot(x: int, k: int) -> int:
+    """Exact floor k-th root via integer Newton (float-free: safe for
+    arbitrarily large x)."""
+    if x < 0:
+        raise ValueError("iroot of negative")
+    if x < 2 or k == 1:
+        return x
+    r = 1 << ((x.bit_length() + k - 1) // k)
+    while True:
+        nr = ((k - 1) * r + x // r ** (k - 1)) // k
+        if nr >= r:
+            break
+        r = nr
+    while r ** k > x:
+        r -= 1
+    return r
+
+
+def perfect_power(n: int):
+    """(base, k) with maximal k >= 2 if n is a perfect power, else None
+    (the GMP-ECM-style up-front structure check; the reference has no
+    equivalent, so every curve's gcd would hit n itself)."""
+    if n < 4:
+        return None
+    best = None
+    k = 2
+    while (1 << k) <= n:
+        r = iroot(n, k)
+        if r ** k == n:
+            best = (r, k)
+        k += 1
+    return best
+
+
 def choose_stage2_D(b1: int) -> int:
     """Stage-2 giant-step size by B1 (/root/reference/main.c:840-872)."""
     if b1 <= 60:
