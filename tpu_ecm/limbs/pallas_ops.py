@@ -491,7 +491,9 @@ def make_prefix_executor(ctx: MontyCtx, batch: int, count: int,
         def _():
             acc[...] = one_in[...]
 
-        acc[...] = mulmod(acc[...], z_row[0])
+        # operands are mul outputs / host-packed values: pre-safe, skip
+        # the norm_inputs entry passes (mirrored in jnp _z_prefix)
+        acc[...] = mulmod(acc[...], z_row[0], pre=True)
         out[0] = acc[...]
 
     call = pl.pallas_call(
@@ -541,9 +543,10 @@ def make_apply_inverse_executor(ctx: MontyCtx, batch: int, count: int,
         def _():
             suf[...] = tinv_in[...]
 
-        inv_i = mulmod(suf[...], pre_row[0])
-        out[0] = mulmod(x_row[0], inv_i)
-        suf[...] = mulmod(suf[...], z_row[0])
+        # all operands pre-safe (mirrored in jnp _apply_inverse)
+        inv_i = mulmod(suf[...], pre_row[0], pre=True)
+        out[0] = mulmod(x_row[0], inv_i, pre=True)
+        suf[...] = mulmod(suf[...], z_row[0], pre=True)
 
     rev = lambda i: (count - 1 - i, 0, 0, 0)
     call = pl.pallas_call(
@@ -605,19 +608,21 @@ def make_replay_executor(ctx: MontyCtx, batch: int, pa_rows: int,
     def kernel(idx_ref, *refs):
         rows = refs[:2 * E]           # pa0, pb0, pa1, pb1, ...
         acc_in, acc_out, acc_scr = refs[2 * E], refs[2 * E + 1], refs[-1]
-        mulmod, _, _ = _make_arith(ctx)
+        mulmod, _, norm1 = _make_arith(ctx)
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
             acc_scr[...] = acc_in[...]
 
-        diffs = [rows[2 * k][0] - rows[2 * k + 1][0] for k in range(E)]
+        # each Pa-Pb difference takes ONE lazy pass; every tree/acc product
+        # then runs on pre-safe operands (one pass per value, not per use)
+        diffs = [norm1(rows[2 * k][0] - rows[2 * k + 1][0]) for k in range(E)]
         while len(diffs) > 1:
-            diffs = ([mulmod(diffs[j], diffs[j + 1])
+            diffs = ([mulmod(diffs[j], diffs[j + 1], pre=True)
                       for j in range(0, len(diffs) - 1, 2)]
                      + ([diffs[-1]] if len(diffs) % 2 else []))
-        acc_scr[...] = mulmod(acc_scr[...], diffs[0])
+        acc_scr[...] = mulmod(acc_scr[...], diffs[0], pre=True)
 
         @pl.when(i == nsteps - 1)
         def _():

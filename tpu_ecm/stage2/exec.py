@@ -99,7 +99,8 @@ def _z_prefix(zs, one_plane, dctx: DeviceCtx):
     """Running products of zs[0..K-1] -> [K, NW, B]."""
 
     def step(acc, z):
-        acc = jnp_ops.mulmod(acc, z, dctx)
+        # operands pre-safe (mirrors the pallas prefix kernel exactly)
+        acc = jnp_ops.mulmod(acc, z, dctx, pre=True)
         return acc, acc
 
     _, prods = jax.lax.scan(step, one_plane, zs)
@@ -115,13 +116,15 @@ def _apply_inverse(xs, zs, prefix, total_inv, one_plane, dctx: DeviceCtx):
 
     def step(suffix, operands):
         z_i, pre = operands
-        inv_i = jnp_ops.mulmod(suffix, pre, dctx)
-        suffix = jnp_ops.mulmod(suffix, z_i, dctx)
+        # operands pre-safe (mirrors the pallas apply-inverse kernel)
+        inv_i = jnp_ops.mulmod(suffix, pre, dctx, pre=True)
+        suffix = jnp_ops.mulmod(suffix, z_i, dctx, pre=True)
         return suffix, inv_i
 
     _, invs = jax.lax.scan(step, total_inv, (zs[::-1], pres[::-1]))
     invs = invs[::-1]
-    return jax.vmap(lambda x, z: jnp_ops.mulmod(x, z, dctx))(xs, invs)
+    return jax.vmap(lambda x, z: jnp_ops.mulmod(x, z, dctx, pre=True))(
+        xs, invs)
 
 
 @jax.jit
