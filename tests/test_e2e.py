@@ -73,6 +73,24 @@ def test_structure_checks_short_circuit(tmp_path):
     assert r.curves_run > 0
 
 
+def test_resume_stage2_from_savefile(tmp_path):
+    """Stage-2 resume from a stage-1 savefile (the `ecm -resume` workflow
+    the reference delegates to GMP-ECM): rebuild curves from the saved
+    SIGMA, lift X/Z into Montgomery form, run stage 2 only.  The sigma-112
+    oracle factor MUST appear."""
+    sv = str(tmp_path / "save_b1.txt")
+    driver.ECMDriver(_cfg(tmp_path, n=N71, curves=4, b1=300, b2=300,
+                          sigma=110, save_b1_path=sv)).run()
+    res = driver.resume_stage2(sv, 10000, verbose=0,
+                               results_path=str(tmp_path / "r2.txt"),
+                               cache_dir=str(tmp_path / "cache"))
+    assert any(h.factor == P35 and h.stage == 2 and h.sigma == 112
+               for h in res.factors), res.factors
+    # guard rails
+    with pytest.raises(ValueError):
+        driver.resume_stage2(sv, 300)   # B2 <= savefile B1
+
+
 def test_calc_huge_sqrt():
     big = (10 ** 400 + 7) ** 2
     assert _calc.calc(f"sqrt({big})") == 10 ** 400 + 7

@@ -373,3 +373,87 @@ class ECMDriver:
 def run_ecm(n: int, curves: int, b1: int, **kw) -> RunResult:
     cfg = RunConfig(n=n, curves=curves, b1=b1, **kw)
     return ECMDriver(cfg).run()
+
+
+def resume_stage2(path: str, b2: int, *,
+                  results_path: Optional[str] = "ecm_results.txt",
+                  verbose: int = 1,
+                  cache_dir: Optional[str] = os.path.expanduser(
+                      "~/.cache/tpu_ecm"),
+                  force_no_mersenne: bool = False,
+                  use_pallas: Optional[bool] = None,
+                  prime_chunk: Optional[int] = None) -> RunResult:
+    """Run stage 2 (only) from a stage-1 savefile — the ecosystem workflow
+    the reference delegates to `ecm -resume save_b1.txt`
+    (/root/reference/README.md:8-10).  Works with files written by this
+    program or avx-ecm: records carry SIGMA (Suyama parameterization), so
+    the curve constant (A+2)/4 is rebuilt from sigma and the saved X, Z are
+    lifted back into Montgomery form.  Useful to push a batch to a larger
+    B2 without redoing stage 1.
+    """
+    with open(path) as f:
+        recs = list(savefile.parse_records(f))
+    if not recs:
+        raise ValueError(f"no savefile records in {path}")
+    ns = {r.n for r in recs}
+    b1s = {r.b1 for r in recs}
+    if len(ns) != 1 or len(b1s) != 1:
+        raise ValueError(f"savefile mixes inputs/bounds: N x{len(ns)}, "
+                         f"B1 x{len(b1s)}; split it first")
+    n, b1 = ns.pop(), b1s.pop()
+    if b2 <= b1:
+        raise ValueError(f"B2 ({b2}) must exceed the savefile B1 ({b1})")
+    if any(r.sigma <= 5 for r in recs):
+        raise ValueError("record without a usable SIGMA; cannot rebuild "
+                         "the curve constant")
+
+    cfg = RunConfig(n=n, curves=len(recs), b1=b1, b2=b2,
+                    results_path=results_path, verbose=verbose,
+                    cache_dir=cache_dir, force_no_mersenne=force_no_mersenne,
+                    use_pallas=use_pallas, prime_chunk=prime_chunk,
+                    save_b1_path=None, checkpoint_path=None,
+                    stop_on_factor=False)
+    d = ECMDriver(cfg)
+    ctx = d.ctx
+    if d.use_pallas:
+        # pad to full lane tiles by repeating the last record (duplicate
+        # curves produce duplicate hits, deduped by (factor, sigma))
+        want = ((len(recs) + 127) // 128) * 128
+        recs = recs + [recs[-1]] * (want - len(recs))
+    sigmas = [r.sigma for r in recs]
+    if verbose:
+        print(f"resuming {len(recs)} curves from {path} "
+              f"(B1={b1}) into stage 2 to B2={b2}")
+    t0 = time.time()
+    consts = [suyama.build_one_curve(ctx, s).s_mont for s in sigmas]
+    xs_m = [ctx.to_mont_int(r.x % ctx.n_int) for r in recs]
+    zs_m = [ctx.to_mont_int(r.z % ctx.n_int) for r in recs]
+    state = _stage1.init_state(ctx, xs_m, zs_m, consts)
+    d.timings["build"] = time.time() - t0
+    # leftover stage-1 factors first (gcd of the saved Z)
+    d._check_batch([r.z for r in recs], sigmas, 1, b1, 0)
+
+    t0 = time.time()
+    sp = s2plan.make_stage2_params(b1, b2)
+    runner = s2exec.Stage2Runner(ctx, d.dctx, sp, state.pts[0],
+                                 state.s_const, b1, verbose=verbose >= 2,
+                                 use_pallas=d.use_pallas,
+                                 executor_cache=d._s2_executors)
+    runner.init()
+    d.timings["stage2_init"] = time.time() - t0
+    t0 = time.time()
+    for lo, hi, primes in d.stream.chunks(b1, b2):
+        map_v, map_u, amin0, stats = s2plan.pair(
+            sp, primes, lo, min(hi, b2), verbose=verbose >= 2)
+        runner.run_chunk(map_v, map_u, amin0)
+    res = runner.result()
+    d.timings["stage2"] = time.time() - t0
+    for k in ("paired", "ptadds", "numinv"):
+        d.counters[k] = getattr(res, k)
+    for i, f in res.factors.items():
+        if f:
+            d._report_factor(f, 2, i, sigmas[i], b2)
+    d._check_batch(res.acc, sigmas, 2, b2, 0)
+    return RunResult(n=n, work_modulus=ctx.n_int, factors=d.factors,
+                     curves_run=len(recs), stage1_residues=[],
+                     timings=dict(d.timings), counters=dict(d.counters))

@@ -29,8 +29,23 @@ def main(argv=None) -> int:
         except Exception:
             pass
     argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "-resume":
+        # GMP-ECM-style stage-2 resume from a stage-1 savefile:
+        #   avx-ecm-tpu -resume save_b1.txt B2
+        if len(argv) < 3:
+            print("usage: avx-ecm-tpu -resume $savefile $B2")
+            return 1
+        res = driver.resume_stage2(argv[1], int(float(argv[2])))
+        for h in res.factors:
+            kind = "PRP" if h.is_prp else "C"
+            print(f"final: {kind}{len(str(h.factor))} factor {h.factor} "
+                  f"(stage {h.stage}, sigma {h.sigma})")
+        print(f"resumed {res.curves_run} curves; timings: "
+              + ", ".join(f"{k}={v:.2f}s" for k, v in res.timings.items()))
+        return 0
     if len(argv) < 3:
-        print("usage: avx-ecm-tpu $input $numcurves $B1 [$batch] [$B2] [$sigma]")
+        print("usage: avx-ecm-tpu $input $numcurves $B1 [$batch] [$B2] [$sigma]"
+              "\n       avx-ecm-tpu -resume $savefile $B2")
         return 1
     n = _calc.calc(argv[0])
     curves = int(argv[1])
