@@ -406,6 +406,10 @@ def resume_stage2(path: str, b2: int, *,
     if any(r.sigma <= 5 for r in recs):
         raise ValueError("record without a usable SIGMA; cannot rebuild "
                          "the curve constant")
+    if any(r.param != 0 for r in recs):
+        raise ValueError("only param-0 (Suyama sigma) records can be "
+                         "resumed; this file uses another GMP-ECM "
+                         "parameterization")
 
     cfg = RunConfig(n=n, curves=len(recs), b1=b1, b2=b2,
                     results_path=results_path, verbose=verbose,

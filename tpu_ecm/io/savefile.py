@@ -27,6 +27,7 @@ class SaveRecord:
     z: int
     program: str = "AVX-ECM"
     method: str = "ECM"
+    param: int = 0     # GMP-ECM parameterization (0 = Suyama sigma)
 
 
 def format_record(rec: SaveRecord) -> str:
@@ -56,10 +57,19 @@ def parse_records(f: TextIO) -> Iterator[SaveRecord]:
         def num(s: str) -> int:
             return int(s, 16) if s.lower().startswith("0x") else int(s)
 
-        yield SaveRecord(sigma=int(fields["SIGMA"]), b1=int(fields["B1"]),
+        # GMP-ECM compatibility: SIGMA may carry a "param:value" prefix
+        # (newer parameterizations), PARAM may appear as its own field, and
+        # records with only a normalized X imply Z = 1
+        sig = fields["SIGMA"]
+        param = int(fields.get("PARAM", "0"))
+        if ":" in sig:
+            param_s, sig = sig.split(":", 1)
+            param = int(param_s)
+        yield SaveRecord(sigma=int(sig), b1=int(fields["B1"]),
                          n=num(fields["N"]), x=num(fields["X"]),
-                         z=num(fields.get("Z", "0x0")),
-                         program=fields.get("PROGRAM", ""))
+                         z=num(fields.get("Z", "0x1")),
+                         program=fields.get("PROGRAM", ""),
+                         param=param)
 
 
 def classify_factor(f: int) -> str:
