@@ -418,6 +418,9 @@ def resume_stage2(path: str, b2: int, *,
                     save_b1_path=None, checkpoint_path=None,
                     stop_on_factor=False)
     d = ECMDriver(cfg)
+    if d._prp_input:
+        # a prime (or prime-power-base) input has nothing to resume
+        return d.run()
     ctx = d.ctx
     if d.use_pallas:
         # pad to full lane tiles by repeating the last record (duplicate
