@@ -35,7 +35,11 @@ def main(argv=None) -> int:
         if len(argv) < 3:
             print("usage: avx-ecm-tpu -resume $savefile $B2")
             return 1
-        res = driver.resume_stage2(argv[1], int(float(argv[2])))
+        try:
+            res = driver.resume_stage2(argv[1], int(float(argv[2])))
+        except (ValueError, OSError) as e:
+            print(f"resume failed: {e}")
+            return 1
         for h in res.factors:
             kind = "PRP" if h.is_prp else "C"
             print(f"final: {kind}{len(str(h.factor))} factor {h.factor} "
