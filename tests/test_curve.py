@@ -57,39 +57,29 @@ def test_prac_tapes_validate_symbolically():
     +-(X-Y) or +-(X+Y)) and slot 0 must end as [p]P — for BOTH rule sets
     (reduced 3/4/5/9 default and the full ORIG_PRAC-analog 9-rule set)."""
     for full in (False, True):
-        old = prac.FULL_PRAC
-        prac.FULL_PRAC = full
-        try:
-            for p in simple_primes(5000):
-                if p == 2:
-                    continue
-                out = []
-                prac.prac_tape(p, out)
-                prac.validate_tape(np.asarray(out, np.int32), p)
-        finally:
-            prac.FULL_PRAC = old
+        for p in simple_primes(5000):
+            if p == 2:
+                continue
+            out = []
+            prac.prac_tape(p, out, full=full)
+            prac.validate_tape(np.asarray(out, np.int32), p)
 
 
 def test_full_prac_matches_ladder():
     """Full 9-rule PRAC tapes must still compute [p]P (projective check
     against the ladder oracle)."""
-    old = prac.FULL_PRAC
-    prac.FULL_PRAC = True
-    try:
-        ctx = params.make_monty(P61)
-        dom = oracle.IntDomain(ctx)
-        ci = suyama.build_one_curve(ctx, 1234577)
-        for p in (127, 1009, 65537, 999983):
-            tape = []
-            prac.prac_tape(p, tape)
-            slots = oracle.run_tape_int(ctx, tape, ci.x_mont, ci.z_mont,
-                                        ci.s_mont)
-            xp, zp = slots[0]
-            xl, zl = oracle.ladder_int(dom, ci.x_mont, ci.z_mont,
-                                       ci.s_mont, p)
-            assert (xp * zl - xl * zp) % P61 == 0, p
-    finally:
-        prac.FULL_PRAC = old
+    ctx = params.make_monty(P61)
+    dom = oracle.IntDomain(ctx)
+    ci = suyama.build_one_curve(ctx, 1234577)
+    for p in (127, 1009, 65537, 999983):
+        tape = []
+        prac.prac_tape(p, tape, full=True)
+        slots = oracle.run_tape_int(ctx, tape, ci.x_mont, ci.z_mont,
+                                    ci.s_mont)
+        xp, zp = slots[0]
+        xl, zl = oracle.ladder_int(dom, ci.x_mont, ci.z_mont,
+                                   ci.s_mont, p)
+        assert (xp * zl - xl * zp) % P61 == 0, p
 
 
 def test_prac_vs_ladder_projective():

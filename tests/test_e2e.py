@@ -179,6 +179,33 @@ def test_calc_expressions():
     assert _calc.calc("-5 + 3") == -2
 
 
+def test_calc_repl_ans_and_user_variables():
+    """REPL statement surface: user-variable assignment and the `ans`
+    accumulator (/root/reference/calc.c:273-302)."""
+    import io
+    lines = io.StringIO(
+        "2^10\n"
+        "ans + 24\n"          # ans carries the previous result
+        "x = 3 * 7\n"         # assignment sets the var AND ans
+        "x^2 + ans\n"
+        "# a comment\n"
+        "\n"
+        "bogus @\n"           # errors keep state intact
+        "x\n"
+        "quit\n"
+        "99\n")               # after quit: not evaluated
+    out = io.StringIO()
+    assert _calc.repl(lines, out) == 0
+    got = out.getvalue().splitlines()
+    assert got[0] == "1024"
+    assert got[1] == "1048"
+    assert got[2] == "21"
+    assert got[3] == str(21 ** 2 + 21)
+    assert got[4].startswith("error:")
+    assert got[5] == "21"
+    assert len(got) == 6
+
+
 def test_checkpoint_written_between_chunks(tmp_path):
     """Force tiny prime chunks so the mid-stage-1 checkpoint path runs."""
     cfg = _cfg(tmp_path, n=N71, curves=2, b1=900, b2=900, sigma=500,

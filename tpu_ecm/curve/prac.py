@@ -44,11 +44,17 @@ VAL = (0.61803398874989485, 0.72360679774997897, 0.58017872829546410,
 # numerically by the oracle tests).  Measured on the B1=1e6 schedule the
 # full set is 0.08% MORE expensive at ADD=5.5/DUP=4.5 weights — the same
 # reason the reference ships with it disabled — so the default is the
-# reduced 3/4/5/9 set; the flag exists for parity and experimentation.
+# reduced 3/4/5/9 set.  Select per call via the `full=` parameter of
+# prac_tape/stage1_tape/cached_stage1_tape; this module constant is only
+# the default used when the parameter is left as None.
 FULL_PRAC = False
 
 
-def lucas_cost(n: int, v: float) -> float:
+def _resolve_full(full) -> bool:
+    return FULL_PRAC if full is None else bool(full)
+
+
+def lucas_cost(n: int, v: float, full=None) -> float:
     """Weighted mul count of the PRAC chain for n at ratio v (branch order
     identical to prac_tape)."""
     d = n
@@ -58,7 +64,7 @@ def lucas_cost(n: int, v: float) -> float:
     d = n - r
     e = 2 * r - n
     c = DUP_COST + ADD_COST
-    full = FULL_PRAC
+    full = _resolve_full(full)
     while d != e:
         if d < e:
             d, e = e, d
@@ -94,13 +100,13 @@ def lucas_cost(n: int, v: float) -> float:
     return c
 
 
-def best_ratio(n: int) -> float:
+def best_ratio(n: int, full=None) -> float:
     """argmin over the 10 candidates (strict-improvement tie-breaking as in
     /root/reference/ecm.c:574-582)."""
     cmin = ADD_COST * n
     besti = 0
     for i, v in enumerate(VAL):
-        c = lucas_cost(n, v)
+        c = lucas_cost(n, v, full=full)
         if c < cmin:
             cmin = c
             besti = i
@@ -147,10 +153,12 @@ class _RegFile:
             self.v2p[dst] = old[src]
 
 
-def prac_tape(p: int, out: List[Tuple[int, int, int, int, int]]) -> None:
+def prac_tape(p: int, out: List[Tuple[int, int, int, int, int]],
+              full=None) -> None:
     """Append the PRAC chain for (prime) p to the tape.  P is slot 0 in and
     out.  Mirrors /root/reference/ecm.c:565-884 step for step."""
-    v = best_ratio(p)
+    full = _resolve_full(full)
+    v = best_ratio(p, full=full)
     r = int(p * v + 0.5)
     d = p - r
     e = 2 * r - p
@@ -158,8 +166,6 @@ def prac_tape(p: int, out: List[Tuple[int, int, int, int, int]]) -> None:
     rf = _RegFile()
     # A = 2P; B = C = P  (/root/reference/ecm.c:601-613)
     out.append((OP_DUP, rf.write_target("A"), 0, 0, 0))
-
-    full = FULL_PRAC
     while d != e:
         if d < e:
             d, e = e, d
@@ -380,7 +386,7 @@ def stage1_powers_of_two(b1: int) -> int:
 
 
 def stage1_tape(primes: Sequence[int], b1: int, *, include_two: bool = True,
-                allow_native: bool = True) -> np.ndarray:
+                allow_native: bool = True, full=None) -> np.ndarray:
     """Full stage-1 tape: leading 2^k doublings (if include_two), then for
     each odd prime p <= primes in the list, PRAC(p) repeated per the prime-
     power rule `do {prac} while (c*q) < B1` (/root/reference/ecm.c:1824-1843).
@@ -388,9 +394,10 @@ def stage1_tape(primes: Sequence[int], b1: int, *, include_two: bool = True,
     Dispatches to the C++ planner (tpu_ecm/native/planner.cpp, bit-identical
     output) when available.
     """
+    full = _resolve_full(full)
     # the C++ planner implements only the default 3/4/5/9 rule set; the
     # FULL_PRAC variant must plan in Python
-    if allow_native and not FULL_PRAC:
+    if allow_native and not full:
         try:
             from ..native import lib as _native
             if _native.available():
@@ -408,7 +415,7 @@ def stage1_tape(primes: Sequence[int], b1: int, *, include_two: bool = True,
             continue
         c = 1
         while True:
-            prac_tape(q, ops)
+            prac_tape(q, ops, full=full)
             c *= q
             if c * q >= b1:
                 break
@@ -418,13 +425,26 @@ def stage1_tape(primes: Sequence[int], b1: int, *, include_two: bool = True,
 
 
 def cached_stage1_tape(primes: Sequence[int], b1: int, cache_dir: str,
-                       chunk_key: str, include_two: bool) -> np.ndarray:
-    """Disk-cached stage1 tape (tapes depend only on (B1, prime chunk))."""
+                       chunk_key: str, include_two: bool,
+                       full=None) -> np.ndarray:
+    """Disk-cached stage1 tape (tapes depend only on (B1, prime chunk) and
+    the rule-set variant, which keys the cache file)."""
+    full = _resolve_full(full)
     os.makedirs(cache_dir, exist_ok=True)
-    variant = "_orig" if FULL_PRAC else ""
+    variant = "_orig" if full else ""
     path = os.path.join(cache_dir, f"s1tape{variant}_{b1}_{chunk_key}.npy")
     if os.path.exists(path):
-        return np.load(path)
-    tape = stage1_tape(primes, b1, include_two=include_two)
-    np.save(path, tape)
+        try:
+            return np.load(path)
+        except (EOFError, OSError, ValueError):
+            pass      # partial/corrupt cache entry: recompute below
+    tape = stage1_tape(primes, b1, include_two=include_two, full=full)
+    # atomic publish: multiple hosts may share this cache dir (multi-host
+    # runs) and a reader must never see a half-written .npy
+    tmp = f"{path}.{os.getpid()}.tmp.npy"   # .npy suffix: np.save keeps it
+    try:
+        np.save(tmp, tape)
+        os.replace(tmp, path)
+    except OSError:
+        pass
     return tape

@@ -57,6 +57,9 @@ class RunConfig:
     sharder: Optional[object] = None   # parallel.mesh.Sharder
     prime_chunk: Optional[int] = None
     use_pallas: Optional[bool] = None  # None: auto (TPU yes, CPU no)
+    pallas_interpret: bool = False     # interpret-mode kernels (CPU testing)
+    full_prac: Optional[bool] = None   # 9-rule ORIG_PRAC analog (None: default)
+    hit_flag: Optional[object] = None  # parallel.coordination.HitFlag
 
 
 @dataclasses.dataclass
@@ -226,12 +229,19 @@ class ECMDriver:
 
     def _tape_runner(self, batch: int):
         """Stage-1 tape executor: Pallas mega-kernel on TPU (state resident
-        in VMEM per chunk), jnp scan elsewhere; both bit-identical."""
-        if not (self.use_pallas and batch % 128 == 0):
+        in VMEM per chunk), jnp scan elsewhere; both bit-identical.  With a
+        Sharder the executor is shard_mapped over the ('curves',) mesh, so
+        the flagship engine itself runs multi-chip."""
+        sh = self.cfg.sharder
+        local = batch // sh.n if sh is not None else batch
+        if not (self.use_pallas and local % 128 == 0):
             return None  # stage1 falls back to the jitted jnp scan
         if batch not in self._executors:
             from .limbs import pallas_ops
-            run = pallas_ops.make_tape_executor(self.ctx, batch)
+            run = pallas_ops.make_tape_executor(
+                self.ctx, batch, sharder=sh,
+                chunk=256 if self.cfg.pallas_interpret else 8192,
+                interpret=self.cfg.pallas_interpret)
 
             def runner(pts, tape, s_const, dctx):
                 return run(pts, tape, s_const)
@@ -270,7 +280,8 @@ class ECMDriver:
         run_tape = self._tape_runner(len(sigmas))
         for chunk, state in _stage1.run_stage1(
                 state, self.dctx, cfg.b1, self.stream,
-                cache_dir=cfg.cache_dir, run_tape=run_tape):
+                cache_dir=cfg.cache_dir, run_tape=run_tape,
+                full_prac=cfg.full_prac):
             for k in ("ptadds", "ptdups", "numprimes"):
                 self.counters[k] = (self.counters.get(k, 0)
                                     + getattr(chunk, k))
@@ -302,23 +313,35 @@ class ECMDriver:
                                          state.pts[0], state.s_const,
                                          cfg.b1, verbose=cfg.verbose >= 2,
                                          use_pallas=self.use_pallas,
-                                         executor_cache=self._s2_executors)
+                                         executor_cache=self._s2_executors,
+                                         sharder=cfg.sharder,
+                                         interpret=cfg.pallas_interpret)
             runner.init()
             self.timings["stage2_init"] = (self.timings.get("stage2_init", 0)
                                            + time.time() - t0)
             t0 = time.time()
+            s2_pairs = s2_primes = 0
             for lo, hi, primes in self.stream.chunks(cfg.b1, self.b2):
                 map_v, map_u, amin0, stats = s2plan.pair(
                     sp, primes, lo, min(hi, self.b2),
                     verbose=cfg.verbose >= 2)
+                s2_pairs += stats["pairs"]
+                s2_primes += stats["primes"]
                 runner.run_chunk(map_v, map_u, amin0)
             res = runner.result()
             self.timings["stage2"] = (self.timings.get("stage2", 0)
                                       + time.time() - t0)
+            if cfg.verbose >= 1 and s2_primes:
+                # pairing-efficiency report (/root/reference/ecm.c:2902-2906),
+                # printed on BOTH planner paths (native and Python)
+                print(f"stage 2: {s2_pairs} pairs from {s2_primes} primes "
+                      f"(ratio = {s2_pairs / s2_primes:.2f})")
             self.counters["paired"] = (self.counters.get("paired", 0)
                                        + res.paired)
             self.counters["ptadds"] = (self.counters.get("ptadds", 0)
                                        + res.ptadds)
+            self.counters["ptdups"] = (self.counters.get("ptdups", 0)
+                                       + res.ptdups)
             self.counters["numinv"] = (self.counters.get("numinv", 0)
                                        + res.numinv)
             for i, f in res.factors.items():
@@ -340,17 +363,22 @@ class ECMDriver:
             batch = cfg.batch
         elif self.use_pallas:
             # per-chip sweet spot: VMEM/register pressure scales with
-            # nw * batch (measured optima 2048 lanes at nw=40, 896 at nw=93)
+            # nw * batch (measured optima 2048 lanes at nw=40, 896 at nw=93);
+            # a sharded mesh takes the sweet spot PER DEVICE
             from .limbs import pallas_ops
-            batch = min(max(total, 128), pallas_ops.default_batch(self.ctx))
+            ndev = cfg.sharder.n if cfg.sharder is not None else 1
+            batch = min(max(total, 128 * ndev),
+                        pallas_ops.default_batch(self.ctx) * ndev)
         else:
             batch = total
         if self.use_pallas:
-            # round the device batch to full 128-lane tiles (the reference
-            # rounds curves up to threads*VECLEN, /root/reference/main.c:585)
-            batch = ((batch + 127) // 128) * 128
-            total = ((total + 127) // 128) * 128
-        if cfg.sharder is not None:
+            # round the device batch to full 128-lane tiles PER DEVICE (the
+            # reference rounds curves up to threads*VECLEN,
+            # /root/reference/main.c:585)
+            q = 128 * (cfg.sharder.n if cfg.sharder is not None else 1)
+            batch = ((batch + q - 1) // q) * q
+            total = ((total + q - 1) // q) * q
+        elif cfg.sharder is not None:
             batch = cfg.sharder.round_batch(batch)
             total = cfg.sharder.round_batch(total)
         residues: List[Tuple[int, int, int]] = []
@@ -362,7 +390,14 @@ class ECMDriver:
                 print(f"Commencing curves {done}-{done + b - 1} of {total}")
             residues += self.run_batch(sigmas, done)
             done += b
-            if len(self.factors) > self._initial_hits and cfg.stop_on_factor:
+            hit = len(self.factors) > self._initial_hits
+            if cfg.hit_flag is not None:
+                # cross-host stop-on-factor: publish this host's bit and
+                # learn everyone's at the batch boundary — the phase
+                # granularity the reference stops at
+                # (/root/reference/ecm.c:1529-1535)
+                hit = cfg.hit_flag.poll(hit)
+            if hit and cfg.stop_on_factor:
                 break
         return RunResult(n=cfg.n, work_modulus=self.ctx.n_int,
                          factors=self.factors, curves_run=done,
@@ -449,13 +484,19 @@ def resume_stage2(path: str, b2: int, *,
     runner.init()
     d.timings["stage2_init"] = time.time() - t0
     t0 = time.time()
+    s2_pairs = s2_primes = 0
     for lo, hi, primes in d.stream.chunks(b1, b2):
         map_v, map_u, amin0, stats = s2plan.pair(
             sp, primes, lo, min(hi, b2), verbose=verbose >= 2)
+        s2_pairs += stats["pairs"]
+        s2_primes += stats["primes"]
         runner.run_chunk(map_v, map_u, amin0)
     res = runner.result()
     d.timings["stage2"] = time.time() - t0
-    for k in ("paired", "ptadds", "numinv"):
+    if verbose >= 1 and s2_primes:
+        print(f"stage 2: {s2_pairs} pairs from {s2_primes} primes "
+              f"(ratio = {s2_pairs / s2_primes:.2f})")
+    for k in ("paired", "ptadds", "ptdups", "numinv"):
         d.counters[k] = getattr(res, k)
     for i, f in res.factors.items():
         if f:

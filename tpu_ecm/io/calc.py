@@ -209,3 +209,43 @@ def calc(expr: str, variables: Optional[Dict[str, int]] = None) -> int:
     if p.peek() is not None:
         raise CalcError(f"trailing input at {p.toks[p.pos:]}")
     return out
+
+
+def eval_statement(line: str, variables: Dict[str, int]) -> int:
+    """Evaluate one calculator statement with persistent state: handles the
+    `name = expr` user-variable assignment form and updates `ans` (the
+    reference's uvars surface, /root/reference/calc.c:273-302 via
+    process_expression; `ans` is set after every evaluation)."""
+    name = None
+    if "=" in line:
+        lhs, rhs = line.split("=", 1)
+        lhs = lhs.strip()
+        if lhs.isidentifier():
+            name, line = lhs, rhs
+        else:
+            raise CalcError(f"bad assignment target {lhs!r}")
+    val = calc(line, variables)
+    variables["ans"] = val
+    if name is not None:
+        variables[name] = val
+    return val
+
+
+def repl(stdin=None, stdout=None) -> int:
+    """Interactive calculator: one statement per line, persistent user
+    variables and `ans`, `quit`/`exit` (or EOF) to leave."""
+    import sys
+    stdin = stdin if stdin is not None else sys.stdin
+    stdout = stdout if stdout is not None else sys.stdout
+    variables: Dict[str, int] = {"ans": 0}
+    for raw in stdin:
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        if line in ("quit", "exit"):
+            break
+        try:
+            print(eval_statement(line, variables), file=stdout)
+        except (CalcError, OverflowError) as e:
+            print(f"error: {e}", file=stdout)
+    return 0

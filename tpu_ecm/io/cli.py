@@ -29,6 +29,10 @@ def main(argv=None) -> int:
         except Exception:
             pass
     argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] == "-calc":
+        # interactive calculator with persistent user variables and `ans`
+        # (the calc.c uvar surface, /root/reference/calc.c:273-302)
+        return _calc.repl()
     if argv and argv[0] == "-resume":
         # GMP-ECM-style stage-2 resume from a stage-1 savefile:
         #   avx-ecm-tpu -resume save_b1.txt B2
@@ -49,7 +53,8 @@ def main(argv=None) -> int:
         return 0
     if len(argv) < 3:
         print("usage: avx-ecm-tpu $input $numcurves $B1 [$batch] [$B2] [$sigma]"
-              "\n       avx-ecm-tpu -resume $savefile $B2")
+              "\n       avx-ecm-tpu -resume $savefile $B2"
+              "\n       avx-ecm-tpu -calc          (interactive calculator)")
         return 1
     n = _calc.calc(argv[0])
     curves = int(argv[1])
@@ -69,10 +74,12 @@ def main(argv=None) -> int:
             kind = "PRP" if h.is_prp else "C"
             print(f"final: {kind}{len(str(h.factor))} factor {h.factor} "
                   f"(stage {h.stage}, sigma {h.sigma})")
-        cof = result.n
-        for h in {h.factor for h in result.factors}:
-            while cof % h == 0:
-                cof //= h
+        # cofactor of the ORIGINAL input (result.n is the post-reduction
+        # working modulus: powers of 2 stripped, perfect-power base)
+        cof = n
+        for f in {h.factor for h in result.factors}:
+            while cof % f == 0:
+                cof //= f
         if cof > 1:
             print(f"cofactor: {savefileclass(cof)} {cof}")
     print(f"ran {result.curves_run} curves; timings: "

@@ -58,7 +58,7 @@ class Stage1Chunk:
 
 def run_stage1(state: Stage1State, dctx: DeviceCtx, b1: int,
                stream: PrimeStream, *, cache_dir: Optional[str] = None,
-               run_tape=None,
+               run_tape=None, full_prac: Optional[bool] = None,
                progress: bool = False) -> Iterator[Tuple[Stage1Chunk, Stage1State]]:
     """Yield (chunk, state) after each prime chunk — the caller checkpoints
     between chunks exactly like the reference driver
@@ -70,9 +70,11 @@ def run_stage1(state: Stage1State, dctx: DeviceCtx, b1: int,
         sel = primes[primes < b1]
         if cache_dir:
             tape = prac.cached_stage1_tape(sel, b1, cache_dir,
-                                           f"{lo}_{hi}", include_two=first)
+                                           f"{lo}_{hi}", include_two=first,
+                                           full=full_prac)
         else:
-            tape = prac.stage1_tape(sel, b1, include_two=first)
+            tape = prac.stage1_tape(sel, b1, include_two=first,
+                                    full=full_prac)
         first = False
         if tape.shape[0]:
             # tape stays a host numpy array: the pallas executor slices and

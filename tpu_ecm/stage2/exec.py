@@ -166,18 +166,28 @@ def _replay_segment(acc, pa_inv_ext, pbx, idx, dctx: DeviceCtx):
     return jnp_ops.mulmod(acc, vals[0], dctx)
 
 
-def _run_ladder(pt, s_const, k: int, dctx: DeviceCtx, run_tape):
+def _run_ladder(pt, s_const, k: int, dctx: DeviceCtx, run_tape,
+                sharder=None):
     """[k]P via a host-planned binary-ladder tape (next_pt_vec analog).
     Tapes are NOP-padded to 64-step multiples so varying k re-uses a handful
     of compiled scan lengths instead of one per distinct k."""
     tape, res_slot = prac.ladder_tape_result_slot(k)
     nw, b = pt.shape[1], pt.shape[2]
-    pts = jnp.zeros((curve_ops.NUM_SLOTS, 2, nw, b), dtype=jnp.int32)
+    pts = _zeros((curve_ops.NUM_SLOTS, 2, nw, b), sharder)
     pts = pts.at[0].set(pt)
     if tape.shape[0]:
         tape = prac.pad_tape(tape, 64)
         pts = run_tape(pts, jnp.asarray(tape), s_const, dctx)
     return jnp.take(pts, res_slot, axis=0)
+
+
+def _zeros(shape, sharder=None):
+    """Batch-trailing int32 zeros, laid out over the sharder's mesh when
+    given (keeps eager scatter/where updates from gathering the batch to
+    one device)."""
+    if sharder is None:
+        return jnp.zeros(shape, dtype=jnp.int32)
+    return sharder.device_put(np.zeros(shape, dtype=np.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -190,6 +200,7 @@ class Stage2Result:
     factors: Dict[int, int]         # curve -> factor found during inversions
     paired: int
     ptadds: int
+    ptdups: int
     numinv: int
 
 
@@ -199,7 +210,8 @@ class Stage2Runner:
     def __init__(self, ctx: MontyCtx, dctx: DeviceCtx, sp: Stage2Params,
                  pt, s_const, b1: int, verbose: bool = False,
                  use_pallas: bool = False,
-                 executor_cache: Optional[Dict] = None):
+                 executor_cache: Optional[Dict] = None,
+                 sharder=None, interpret: bool = False):
         self.ctx, self.dctx, self.sp = ctx, dctx, sp
         self.pt = pt                  # stage-1 point [2, NW, B]
         self.s_const = s_const
@@ -207,20 +219,30 @@ class Stage2Runner:
         self.verbose = verbose
         b = pt.shape[2]
         self.b = b
-        self.use_pallas = use_pallas and b % 128 == 0
+        self.sharder = sharder
+        self.interpret = interpret
+        b_local = b // sharder.n if sharder is not None else b
+        self.use_pallas = use_pallas and b_local % 128 == 0
         # compiled-executor cache, shareable across runners (the driver makes
         # one runner per curve batch; executors depend only on (kind, size))
         self._cache = executor_cache if executor_cache is not None else {}
         # bigger Pa groups / replay blocks on TPU (fewer host syncs and
-        # kernel launches); modest on the jnp fallback so CPU tests stay fast
-        self.pa_group = 4096 if self.use_pallas else 512
-        self.replay_block = 16384 if self.use_pallas else 4096
+        # kernel launches); modest on the jnp fallback so CPU tests stay
+        # fast; tiny in interpret mode (grid steps execute one by one)
+        if self.use_pallas and interpret:
+            self.pa_group, self.replay_block = 64, 256
+        elif self.use_pallas:
+            self.pa_group, self.replay_block = 4096, 16384
+        else:
+            self.pa_group, self.replay_block = 512, 4096
         one = layout.broadcast_int(ctx.r_mod_n, ctx.p.w, ctx.p.nw, b)
-        self.one_plane = jnp.asarray(one)
+        self.one_plane = (sharder.device_put(one) if sharder is not None
+                          else jnp.asarray(one))
         self.acc = self.one_plane     # mdata->one init (/root/reference/ecm.c:2318)
         self.factors: Dict[int, int] = {}
         self.paired = 0
         self.ptadds = 0
+        self.ptdups = 0               # point-doubles (ecm_work->ptdups)
         self.numinv = 0
         if ("run_tape",) not in self._cache:
             self._cache[("run_tape",)] = jax.jit(curve_ops.run_tape)
@@ -230,6 +252,19 @@ class Stage2Runner:
         self.pa = None                # [2L, 2, NW, B]
         self.pa_inv = None            # [2L, NW, B]
         self.amin = 0
+
+    def _count_tape(self, tape: np.ndarray):
+        """ADD/DUP op counters for a host-planned tape (the reference counts
+        every vec_add/vec_duplicate, /root/reference/avx_ecm.h:248-252)."""
+        if tape.shape[0]:
+            opc = np.asarray(tape)[:, 0]
+            self.ptadds += int(np.count_nonzero(opc == curve_ops.OP_ADD))
+            self.ptdups += int(np.count_nonzero(opc == curve_ops.OP_DUP))
+
+    def _ladder(self, pt, k: int):
+        self._count_tape(prac.ladder_tape_result_slot(k)[0])
+        return _run_ladder(pt, self.s_const, k, self.dctx, self.run_tape,
+                           sharder=self.sharder)
 
     # -- inversion helper ---------------------------------------------------
 
@@ -242,9 +277,12 @@ class Stage2Runner:
             from ..limbs import pallas_ops
             if ("prefix", k) not in self._cache:
                 self._cache[("prefix", k)] = pallas_ops.make_prefix_executor(
-                    self.ctx, self.b, k)
+                    self.ctx, self.b, k, sharder=self.sharder,
+                    interpret=self.interpret)
                 self._cache[("apply", k)] = \
-                    pallas_ops.make_apply_inverse_executor(self.ctx, self.b, k)
+                    pallas_ops.make_apply_inverse_executor(
+                        self.ctx, self.b, k, sharder=self.sharder,
+                        interpret=self.interpret)
             prefix = self._cache[("prefix", k)](zs, self.one_plane)
         else:
             prefix = _z_prefix(zs, self.one_plane, self.dctx)
@@ -292,7 +330,8 @@ class Stage2Runner:
             from ..limbs import pallas_ops
             if ("chain", count) not in self._cache:
                 self._cache[("chain", count)] = pallas_ops.make_chain_executor(
-                    self.ctx, self.b, count)
+                    self.ctx, self.b, count, sharder=self.sharder,
+                    interpret=self.interpret)
             return self._cache[("chain", count)](p1, p2, pd)
         cnt = jnp.zeros((count,), dtype=jnp.int32)
         return _pa_extend((p1, p2), pd, self.s_const, cnt, self.dctx)
@@ -313,11 +352,12 @@ class Stage2Runner:
         # never exists.
         q1 = self.pt
         x2, z2 = _jit_xdbl(q1[0], q1[1], self.s_const, self.dctx)
+        self.ptdups += 1
         q2 = jnp.stack([x2, z2])
         nw, b = q1.shape[1], q1.shape[2]
         inv12 = self._invert_planes_grouped(
             jnp.stack([q1[0], q2[0]]), jnp.stack([q1[1], q2[1]]))
-        pbx = jnp.zeros((sp.num_pb, nw, b), dtype=jnp.int32)
+        pbx = _zeros((sp.num_pb, nw, b), self.sharder)
         pbx = pbx.at[1].set(inv12[0]).at[2].set(inv12[1])
         G = self.pa_group
         rows = jnp.arange(G)[:, None, None]
@@ -344,8 +384,7 @@ class Stage2Runner:
         self.pbx = pbx.at[0].set(jnp.zeros_like(self.one_plane))
         self.ptadds += sp.umax - 2
         # Pd = [D]Q (not inverted), /root/reference/ecm.c:2331-2334
-        self.pd = _run_ladder(self.pt, self.s_const, sp.D, self.dctx,
-                              self.run_tape)
+        self.pd = self._ladder(self.pt, sp.D)
         return self
 
     # -- phase 3: per-chunk pairmap replay ----------------------------------
@@ -402,10 +441,11 @@ class Stage2Runner:
         pending = None
         if k >= 1:
             tape, lo, hi = prac.ladder_pair_tape(k)
+            self._count_tape(tape)
             tape = prac.pad_tape(tape, 64)
             nw_, b_ = self.pt.shape[1], self.pt.shape[2]
-            pts = jnp.zeros((curve_ops.NUM_SLOTS, 2, nw_, b_),
-                            dtype=jnp.int32).at[0].set(self.pd)
+            pts = _zeros((curve_ops.NUM_SLOTS, 2, nw_, b_),
+                         self.sharder).at[0].set(self.pd)
             pts = self.run_tape(pts, jnp.asarray(tape), self.s_const,
                                 self.dctx)
             p_prev, p_last = pts[lo], pts[hi]
@@ -413,10 +453,8 @@ class Stage2Runner:
             # amin0 <= 1: [2*amin0-2]Pd would be the point at infinity; seed
             # from Q ladders and fold Pa[0] in as the first group row
             a_val = 2 * amin0 * sp.D
-            p_last = _run_ladder(self.pt, self.s_const, a_val, self.dctx,
-                                 self.run_tape)       # global[0]
-            p_prev = _run_ladder(self.pt, self.s_const, a_val - sp.D,
-                                 self.dctx, self.run_tape)  # global[-1]
+            p_last = self._ladder(self.pt, a_val)            # global[0]
+            p_prev = self._ladder(self.pt, a_val - sp.D)     # global[-1]
             pending = p_last
 
         pos = 0
@@ -469,7 +507,8 @@ class Stage2Runner:
                     self.ctx, self.b, pa_rows=G + 1,
                     pb_rows=int(self.pbx.shape[0]),
                     t_block=self.replay_block,
-                    entries_per_step=8)  # 2.28 -> 2.13 us/entry vs E=4
+                    entries_per_step=8,  # 2.28 -> 2.13 us/entry vs E=4
+                    sharder=self.sharder, interpret=self.interpret)
             replay = self._cache[key]
             tb = self.replay_block
             for lo in range(0, idx.shape[0], tb):
@@ -503,4 +542,4 @@ class Stage2Runner:
         accs = [self.ctx.from_mont_int(a % self.ctx.n_int) for a in accs]
         return Stage2Result(acc=accs, factors=dict(self.factors),
                             paired=self.paired, ptadds=self.ptadds,
-                            numinv=self.numinv)
+                            ptdups=self.ptdups, numinv=self.numinv)
