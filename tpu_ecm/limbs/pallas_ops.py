@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
 
 from ..params import MontyCtx
 from . import layout as _layout
@@ -62,6 +63,36 @@ def default_batch(ctx: MontyCtx, max_batch: int = 2048) -> int:
     bs * nw ~ 640."""
     bs = max(1, min(max_batch // LANE, (640 + ctx.p.nw - 1) // ctx.p.nw))
     return bs * LANE
+
+
+def _local_batch(batch: int, sharder) -> int:
+    """Per-device curve count when the batch axis is sharded (the per-chip
+    analog of the reference's curves-per-thread split,
+    /root/reference/main.c:585-589)."""
+    if sharder is None:
+        return batch
+    assert batch % sharder.n == 0, (batch, sharder.n)
+    loc = batch // sharder.n
+    assert loc % LANE == 0, (
+        f"per-device batch {loc} must be a multiple of {LANE} lanes")
+    return loc
+
+
+def _jit_maybe_sharded(body, sharder, in_specs, out_specs, donate=()):
+    """jit(body) on one device; jit(shard_map(body)) over the sharder's
+    ('curves',) mesh otherwise.  Inside the mapped body every array is the
+    LOCAL shard, so the pallas_call built for the local batch size runs
+    unchanged on each device — zero cross-device communication, exactly the
+    reference's threads-own-disjoint-curves model (SURVEY.md section 2.4.2)."""
+    if sharder is None:
+        return jax.jit(body, donate_argnums=donate)
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation; the specs above are the full contract (no collectives
+    # inside the body, so there is nothing for the vma checker to catch)
+    mapped = jax.shard_map(body, mesh=sharder.mesh,
+                           in_specs=in_specs, out_specs=out_specs,
+                           check_vma=False)
+    return jax.jit(mapped, donate_argnums=donate)
 
 
 # ---------------------------------------------------------------------------
@@ -416,7 +447,7 @@ def _point_ops(ctx: MontyCtx):
 
 
 def make_chain_executor(ctx: MontyCtx, batch: int, count: int,
-                        interpret: bool = False):
+                        interpret: bool = False, sharder=None):
     """Differential-add chain: out[i] = out[i-1] + Pd (diff out[i-2]), seeded
     by (p1, p2) = (out[-1], out[-2]) — the giant-step extension
     (/root/reference/ecm.c:2405-2424) as one kernel with the running pair in
@@ -426,8 +457,7 @@ def make_chain_executor(ctx: MontyCtx, batch: int, count: int,
     """
     p = ctx.p
     nw = p.nw
-    assert batch % LANE == 0
-    bs = batch // LANE
+    bs = _local_batch(batch, sharder) // LANE
 
     def kernel(p1_in, p2_in, pd, out, s1, s2):
         _, _, xadd = _point_ops(ctx)
@@ -461,17 +491,22 @@ def make_chain_executor(ctx: MontyCtx, batch: int, count: int,
             vmem_limit_bytes=100 * 1024 * 1024),
     )
 
-    @jax.jit
-    def run(p1, p2, pd):
-        out = call(p1.reshape(2, nw, bs, LANE), p2.reshape(2, nw, bs, LANE),
-                   pd.reshape(2, nw, bs, LANE))
-        return out.reshape(count, 2, nw, batch)
+    def body(p1, p2, pd):
+        bl = p1.shape[-1]
+        out = call(p1.reshape(2, nw, bl // LANE, LANE),
+                   p2.reshape(2, nw, bl // LANE, LANE),
+                   pd.reshape(2, nw, bl // LANE, LANE))
+        return out.reshape(count, 2, nw, bl)
 
-    return run
+    ax = sharder.axis_name if sharder is not None else None
+    return _jit_maybe_sharded(
+        body, sharder,
+        in_specs=(P(None, None, ax),) * 3,
+        out_specs=P(None, None, None, ax))
 
 
 def make_prefix_executor(ctx: MontyCtx, batch: int, count: int,
-                         interpret: bool = False):
+                         interpret: bool = False, sharder=None):
     """Montgomery-trick prefix products over a stack of planes:
     out[i] = one * z[0] * ... * z[i] — sequential over rows, the running
     product living in VMEM scratch (batch-inversion phase 1,
@@ -481,8 +516,7 @@ def make_prefix_executor(ctx: MontyCtx, batch: int, count: int,
     """
     p = ctx.p
     nw = p.nw
-    assert batch % LANE == 0
-    bs = batch // LANE
+    bs = _local_batch(batch, sharder) // LANE
 
     def kernel(z_row, one_in, out, acc):
         mulmod, _, _ = _make_arith(ctx)
@@ -511,17 +545,21 @@ def make_prefix_executor(ctx: MontyCtx, batch: int, count: int,
             vmem_limit_bytes=100 * 1024 * 1024),
     )
 
-    @jax.jit
-    def run(zs, one):
-        out = call(zs.reshape(count, nw, bs, LANE),
-                   one.reshape(nw, bs, LANE))
-        return out.reshape(count, nw, batch)
+    def body(zs, one):
+        bl = zs.shape[-1]
+        out = call(zs.reshape(count, nw, bl // LANE, LANE),
+                   one.reshape(nw, bl // LANE, LANE))
+        return out.reshape(count, nw, bl)
 
-    return run
+    ax = sharder.axis_name if sharder is not None else None
+    return _jit_maybe_sharded(
+        body, sharder,
+        in_specs=(P(None, None, ax), P(None, ax)),
+        out_specs=P(None, None, ax))
 
 
 def make_apply_inverse_executor(ctx: MontyCtx, batch: int, count: int,
-                                interpret: bool = False):
+                                interpret: bool = False, sharder=None):
     """Batch-inversion suffix walk + application (phase 3 of Montgomery's
     trick, /root/reference/ecm.c:1951-2001): given prefix products pres[i] =
     one*z[0]*..*z[i-1] and total_inv = (prod z)^-1, produce
@@ -533,8 +571,7 @@ def make_apply_inverse_executor(ctx: MontyCtx, batch: int, count: int,
     """
     p = ctx.p
     nw = p.nw
-    assert batch % LANE == 0
-    bs = batch // LANE
+    bs = _local_batch(batch, sharder) // LANE
 
     def kernel(x_row, z_row, pre_row, tinv_in, out, suf):
         mulmod, _, _ = _make_arith(ctx)
@@ -566,21 +603,25 @@ def make_apply_inverse_executor(ctx: MontyCtx, batch: int, count: int,
             vmem_limit_bytes=100 * 1024 * 1024),
     )
 
-    @jax.jit
-    def run(xs, zs, pres, total_inv):
-        out = call(xs.reshape(count, nw, bs, LANE),
-                   zs.reshape(count, nw, bs, LANE),
-                   pres.reshape(count, nw, bs, LANE),
-                   total_inv.reshape(nw, bs, LANE))
-        return out.reshape(count, nw, batch)
+    def body(xs, zs, pres, total_inv):
+        bl = xs.shape[-1]
+        out = call(xs.reshape(count, nw, bl // LANE, LANE),
+                   zs.reshape(count, nw, bl // LANE, LANE),
+                   pres.reshape(count, nw, bl // LANE, LANE),
+                   total_inv.reshape(nw, bl // LANE, LANE))
+        return out.reshape(count, nw, bl)
 
-    return run
+    ax = sharder.axis_name if sharder is not None else None
+    return _jit_maybe_sharded(
+        body, sharder,
+        in_specs=(P(None, None, ax),) * 3 + (P(None, ax),),
+        out_specs=P(None, None, ax))
 
 
 def make_replay_executor(ctx: MontyCtx, batch: int, pa_rows: int,
                          pb_rows: int, t_block: int = 2048,
                          entries_per_step: int = 4,
-                         interpret: bool = False):
+                         interpret: bool = False, sharder=None):
     """Stage-2 pairmap replay kernel: acc *= (Pa_inv[v] - PbX[u]) per entry
     (CROSS_PRODUCT_INV, /root/reference/ecm.c:1857-1859).
 
@@ -599,9 +640,8 @@ def make_replay_executor(ctx: MontyCtx, batch: int, pa_rows: int,
     """
     p = ctx.p
     nw = p.nw
-    assert batch % LANE == 0
     assert t_block % entries_per_step == 0
-    bs = batch // LANE
+    bs = _local_batch(batch, sharder) // LANE
     E = entries_per_step
     nsteps = t_block // E
 
@@ -658,30 +698,38 @@ def make_replay_executor(ctx: MontyCtx, batch: int, pa_rows: int,
             vmem_limit_bytes=100 * 1024 * 1024),
     )
 
-    @jax.jit
-    def run(acc, pa_ext, pbx, idx):
-        acc4 = acc.reshape(nw, bs, LANE)
-        pa4 = pa_ext.reshape(pa_rows, nw, bs, LANE)
-        pb4 = pbx.reshape(pb_rows, nw, bs, LANE)
+    def body(acc, pa_ext, pbx, idx):
+        bl = acc.shape[-1]
+        acc4 = acc.reshape(nw, bl // LANE, LANE)
+        pa4 = pa_ext.reshape(pa_rows, nw, bl // LANE, LANE)
+        pb4 = pbx.reshape(pb_rows, nw, bl // LANE, LANE)
         gathers = [pa4, pb4] * E
         out = call(idx.reshape(2 * t_block), *gathers, acc4)
-        return out.reshape(nw, batch)
+        return out.reshape(nw, bl)
 
-    return run
+    ax = sharder.axis_name if sharder is not None else None
+    return _jit_maybe_sharded(
+        body, sharder,
+        in_specs=(P(None, ax), P(None, None, ax), P(None, None, ax),
+                  P(None, None)),
+        out_specs=P(None, ax))
 
 
 def make_tape_executor(ctx: MontyCtx, batch: int, chunk: int = 8192,
-                       interpret: bool = False):
+                       interpret: bool = False, sharder=None):
     """Returns run(pts [S,2,NW,B], tape [T,5], s_const [NW,B]) -> pts.
 
     The tape is padded to a multiple of `chunk` with NOP entries and executed
-    as an outer lax.scan over per-chunk pallas_calls; curve state round-trips
-    HBM only at chunk boundaries.
-    """
+    as an outer Python loop over per-chunk pallas_calls; curve state round-
+    trips HBM only at chunk boundaries.  With a Sharder, the per-chunk call
+    is shard_mapped over the ('curves',) mesh: each device runs the SAME
+    kernel on its local batch/n lanes with the tape replicated — the
+    multi-chip analog of all pthreads running the hot loop
+    (/root/reference/threadpool.c:202-397)."""
     p = ctx.p
     nw = p.nw
-    assert batch % LANE == 0, f"batch {batch} must be a multiple of {LANE}"
-    bs = batch // LANE
+    loc = _local_batch(batch, sharder)
+    bs = loc // LANE
 
     kern = functools.partial(_tape_kernel, ctx)
 
@@ -706,16 +754,27 @@ def make_tape_executor(ctx: MontyCtx, batch: int, chunk: int = 8192,
             vmem_limit_bytes=100 * 1024 * 1024),
     )
 
+    def chunk_body(t, pts, s):
+        """One tape chunk on the (local) [S, 2, NW, Bl] register file."""
+        bl = pts.shape[-1]
+        out = call(t, pts.reshape(NUM_SLOTS, 2, nw, bl // LANE, LANE),
+                   s.reshape(nw, bl // LANE, LANE))
+        return out.reshape(NUM_SLOTS, 2, nw, bl)
+
     # the chunk loop runs in PYTHON, not lax.scan: the compiled unit is then
     # the fixed-shape per-chunk kernel, reused for EVERY tape length — a
     # lax.scan wrapper re-keys the whole program (and re-runs the expensive
     # Mosaic compile) whenever the tape length changes.  Chunk dispatches
     # enqueue asynchronously; state stays device-resident via the alias.
-    chunk_call = jax.jit(lambda t, p, s: call(t, p, s), donate_argnums=(1,))
+    ax = sharder.axis_name if sharder is not None else None
+    chunk_call = _jit_maybe_sharded(
+        chunk_body, sharder,
+        in_specs=(P(None), P(None, None, None, ax), P(None, ax)),
+        out_specs=P(None, None, None, ax), donate=(1,))
 
     def run(pts, tape, s_const):
-        pts5 = jnp.asarray(pts).reshape(NUM_SLOTS, 2, nw, bs, LANE)
-        s5 = jnp.asarray(s_const).reshape(nw, bs, LANE)
+        pts4 = jnp.asarray(pts)
+        s4 = jnp.asarray(s_const)
         tape_np = np.asarray(tape)
         t = tape_np.shape[0]
         npad = (-t) % chunk
@@ -725,7 +784,7 @@ def make_tape_executor(ctx: MontyCtx, batch: int, chunk: int = 8192,
             tape_np = np.concatenate([tape_np, nop], axis=0)
         flat = tape_np.reshape(-1)
         for lo in range(0, flat.shape[0], 5 * chunk):
-            pts5 = chunk_call(jnp.asarray(flat[lo:lo + 5 * chunk]), pts5, s5)
-        return pts5.reshape(NUM_SLOTS, 2, nw, batch)
+            pts4 = chunk_call(jnp.asarray(flat[lo:lo + 5 * chunk]), pts4, s4)
+        return pts4
 
     return run
