@@ -5,11 +5,23 @@ ECM curves are fully independent (the reference's "distributed" story is
 SIMD lanes x pthreads in one process, SURVEY.md section 2.4; ours is the
 sharded curve axis).  Multi-host therefore needs NO cross-host collectives
 in the compute path at all: each host factors the same N with a disjoint
-sigma range, and the only coordination is (a) unique sigma partitioning and
-(b) stopping everyone once any host finds a factor.  DCN traffic is one
-flag per phase boundary.
+sigma range.  Coordination is exactly two things:
 
-Usage (same command on every host, e.g. under `gspmd`/mpi-style launch):
+(a) unique sigma partitioning — host i owns sigmas
+    [base + i*curves_per_host, base + (i+1)*curves_per_host);
+(b) stop-on-factor — a one-bit HitFlag poll per curve-batch boundary
+    (parallel/coordination.py): CollectiveFlag over DCN when running under
+    jax.distributed, or a shared-filesystem FileFlag for independent
+    launcher-style processes.  The reference's analog is its curve-loop
+    stop on a hit (/root/reference/ecm.c:1529-1535).
+
+Each host drives ALL of its local chips: a Sharder over jax.local_devices()
+is installed by default, so the per-host curve batch is shard_mapped over
+the local ('curves',) mesh (tested sharding + the flag logic in
+tests/test_distributed.py; the union-equals-single-run invariant in
+tests/test_sharding.py).
+
+Usage (same command on every host, e.g. under an mpi-style launcher):
 
     from tpu_ecm.parallel import distributed
     res = distributed.run_multihost(n, total_curves=32768, b1=43_000_000)
@@ -24,6 +36,8 @@ from __future__ import annotations
 from typing import Optional
 
 from .. import driver as _driver
+from . import coordination as _coord
+from .mesh import Sharder
 
 
 def host_sigma_base(global_sigma: int, process_id: int,
@@ -48,7 +62,9 @@ def run_multihost(n: int, total_curves: int, b1: int, *,
     Each host runs the identical program on its local devices with a
     disjoint slice of the curve budget; fixed sigma => the union of all
     hosts' results is bit-identical to a single giant run (the reference's
-    determinism property across threads, threadpool.c NO_THREADS).
+    determinism property across threads, threadpool.c NO_THREADS).  Every
+    host gets the same ceil(total/nproc) curve count, so batch counts — and
+    therefore CollectiveFlag poll counts — are identical on every host.
     """
     import jax
 
@@ -64,6 +80,11 @@ def run_multihost(n: int, total_curves: int, b1: int, *,
         # random mode: each host gets its own results file; the driver's
         # time-seeded SigmaGen decorrelates hosts on its own
         kw.setdefault("results_path", f"ecm_results_h{pid}.txt")
+    if "sharder" not in kw and len(jax.local_devices()) > 1:
+        # drive every local chip, not one per process
+        kw["sharder"] = Sharder(jax.local_devices())
+    if "hit_flag" not in kw and nproc > 1:
+        kw["hit_flag"] = _coord.CollectiveFlag()
     cfg = _driver.RunConfig(n=n, curves=curves_here, b1=b1, b2=b2,
                             sigma=base, **kw)
     return _driver.ECMDriver(cfg).run()
