@@ -60,6 +60,10 @@ class RunConfig:
     pallas_interpret: bool = False     # interpret-mode kernels (CPU testing)
     full_prac: Optional[bool] = None   # 9-rule ORIG_PRAC analog (None: default)
     hit_flag: Optional[object] = None  # parallel.coordination.HitFlag
+    # stage-1 curve family: "suyama" = Montgomery x-only PRAC (reference
+    # parity, 12 | order); "edwards" = a=-1 twisted Edwards signed-window
+    # (~20% fewer weighted muls/bit, 4 | order — see curve/edwards.py)
+    curve_mode: str = "suyama"
 
 
 @dataclasses.dataclass
@@ -217,11 +221,16 @@ class ECMDriver:
                 self._report_factor(f, stage, base_idx + i, s, bound)
 
     def _write_save(self, path: Optional[str], sigmas: List[int],
-                    xs: List[int], zs: List[int], b1_label: int):
+                    xs: List[int], zs: List[int], b1_label: int,
+                    program: str = "AVX-ECM"):
+        # PROGRAM tags the curve family: AVX-ECM-ED records carry an Edwards
+        # seed in SIGMA (X/Z are on the equivalent Montgomery curve either
+        # way, so foreign `ecm -resume` keeps working — it only needs X/Z)
         if not path:
             return
         n_out = self.ctx.input_n
-        recs = [savefile.SaveRecord(sigma=s, b1=b1_label, n=n_out, x=x, z=z)
+        recs = [savefile.SaveRecord(sigma=s, b1=b1_label, n=n_out, x=x, z=z,
+                                    program=program)
                 for s, x, z in zip(sigmas, xs, zs)]
         savefile.append_records(path, recs)
 
@@ -249,8 +258,126 @@ class ECMDriver:
             self._executors[batch] = runner
         return self._executors[batch]
 
+    def _ed_runner(self, batch: int, table_pts: int):
+        """Edwards tape executor: Pallas on TPU, jnp scan elsewhere."""
+        sh = self.cfg.sharder
+        local = batch // sh.n if sh is not None else batch
+        key = ("ed", batch, table_pts)
+        if not (self.use_pallas and local % 128 == 0):
+            if key not in self._executors:
+                import jax
+                from .curve import edops
+
+                jrun = jax.jit(edops.run_tape, static_argnums=())
+
+                def runner(acc, tape, table):
+                    import jax.numpy as jnp
+                    return jrun(jnp.asarray(acc), jnp.asarray(tape),
+                                jnp.asarray(table), self.dctx)
+
+                self._executors[key] = runner
+            return self._executors[key]
+        if key not in self._executors:
+            from .limbs import pallas_ops
+            self._executors[key] = pallas_ops.make_edwards_executor(
+                self.ctx, batch, table_pts, sharder=sh,
+                chunk=256 if self.cfg.pallas_interpret else 8192,
+                interpret=self.cfg.pallas_interpret)
+        return self._executors[key]
+
+    def _run_batch_edwards(self, sigmas: List[int], base_idx: int
+                           ) -> List[Tuple[int, int, int]]:
+        """Stage 1 on a=-1 twisted Edwards curves (curve/edwards.py), then
+        the unchanged Montgomery stage 2 on the birationally equivalent
+        curve via (U : W) = (Z+Y : Z-Y) and (A+2)/4 = 1/(1+d)."""
+        from .curve import edops, edwards
+        from .limbs import layout as _layout
+        cfg, ctx = self.cfg, self.ctx
+        t0 = time.time()
+        curves = []
+        for s in sigmas:
+            for attempt in range(64):
+                try:
+                    curves.append(edwards.build_one_curve(ctx, s))
+                    break
+                except suyama.FactorFoundDuringBuild as e:
+                    if e.factor:
+                        self._report_factor(e.factor, 0, base_idx, e.sigma,
+                                            cfg.b1)
+                    s = s + 1_000_003
+            else:
+                raise RuntimeError(
+                    "curve construction kept hitting gcd factors; "
+                    "input has many small factors — divide them out first")
+        # window tables (may harvest a factor from a non-invertible Z)
+        try:
+            pts, cached = edwards.build_batch_tables(ctx, curves)
+        except suyama.FactorFoundDuringBuild as e:
+            if e.factor:
+                self._report_factor(e.factor, 0, base_idx, e.sigma, cfg.b1)
+            raise RuntimeError(
+                "window table hit a factor of n; rerun with fresh sigmas "
+                "or divide the reported factor out") from e
+        # the whole prime set <= B1 at once: the Edwards scalar couples all
+        # primes, so there is no per-chunk checkpoint boundary in this mode
+        primes = np.concatenate([c[2] for c in
+                                 self.stream.chunks(0, cfg.b1)])
+        tape, lead = edwards.cached_stage1_tape(primes, cfg.b1,
+                                                cfg.cache_dir)
+        acc0 = edwards.init_accumulator(ctx, pts, lead)
+        sigmas_list = [c.sigma for c in curves]
+        if cfg.sharder is not None:
+            acc0 = cfg.sharder.device_put(acc0)
+            cached_dev = cfg.sharder.device_put(cached)
+        else:
+            acc0, cached_dev = acc0, cached
+        self.timings["build"] = self.timings.get("build", 0) + time.time() - t0
+
+        t0 = time.time()
+        run = self._ed_runner(len(sigmas), cached.shape[0])
+        acc = run(acc0, tape, cached_dev)
+        ndbl = int(np.count_nonzero(tape[:, 0] <= 1))
+        nadd = int(np.count_nonzero((tape[:, 0] == 2) | (tape[:, 0] == 3)))
+        self.counters["ptdups"] = self.counters.get("ptdups", 0) + ndbl + 1
+        self.counters["ptadds"] = (self.counters.get("ptadds", 0) + nadd
+                                   + cached.shape[0] - 1)
+        self.counters["numprimes"] = (self.counters.get("numprimes", 0)
+                                      + int(np.count_nonzero(
+                                          (primes < cfg.b1) & (primes > 2)))
+                                      + 1)
+        # Montgomery handoff
+        import jax.numpy as jnp
+        u, w = edops.to_montgomery_pair(acc, self.dctx)
+        pts0 = jnp.stack([u, w])
+        xs = [ctx.from_mont_int(v % ctx.n_int)
+              for v in _layout.unpack_batch(np.asarray(u), ctx.p.w)]
+        zs = [ctx.from_mont_int(v % ctx.n_int)
+              for v in _layout.unpack_batch(np.asarray(w), ctx.p.w)]
+        self.timings["stage1"] = (self.timings.get("stage1", 0)
+                                  + time.time() - t0)
+        if cfg.verbose >= 2:
+            print(f"Stage 1 (edwards) completed, {nadd} window-adds, "
+                  f"{ndbl} doublings")
+        # the identity mod p shows as X=0 (and (0,-1) too); y=1 shows as W=0
+        accX = [ctx.from_mont_int(v % ctx.n_int) for v in
+                _layout.unpack_batch(np.asarray(acc[0]), ctx.p.w)]
+        self._check_batch(accX, sigmas_list, 1, cfg.b1, base_idx)
+        self._check_batch(zs, sigmas_list, 1, cfg.b1, base_idx)
+        self._write_save(cfg.save_b1_path, sigmas_list, xs, zs, cfg.b1,
+                         program="AVX-ECM-ED")
+        residues = [(s, x, z) for s, x, z in zip(sigmas_list, xs, zs)]
+
+        s_const = _layout.pack_batch([c.s_mont for c in curves],
+                                     ctx.p.w, ctx.p.nw)
+        s_plane = (cfg.sharder.device_put(s_const)
+                   if cfg.sharder is not None else jnp.asarray(s_const))
+        self._run_stage2(pts0, s_plane, sigmas_list, base_idx)
+        return residues
+
     def run_batch(self, sigmas: List[int], base_idx: int) -> List[Tuple[int, int, int]]:
         cfg, ctx = self.cfg, self.ctx
+        if cfg.curve_mode == "edwards":
+            return self._run_batch_edwards(sigmas, base_idx)
         t0 = time.time()
         curves = []
         for s in sigmas:
@@ -306,11 +433,16 @@ class ECMDriver:
         residues = [(s, x, z) for s, x, z in zip(sigmas, xs, zs)]
 
         # ---- stage 2 ----
+        self._run_stage2(state.pts[0], state.s_const, sigmas, base_idx)
+        return residues
+
+    def _run_stage2(self, pts0, s_const, sigmas: List[int], base_idx: int):
+        cfg, ctx = self.cfg, self.ctx
         if self.do_stage2:
             t0 = time.time()
             sp = s2plan.make_stage2_params(cfg.b1, self.b2)
             runner = s2exec.Stage2Runner(ctx, self.dctx, sp,
-                                         state.pts[0], state.s_const,
+                                         pts0, s_const,
                                          cfg.b1, verbose=cfg.verbose >= 2,
                                          use_pallas=self.use_pallas,
                                          executor_cache=self._s2_executors,
@@ -348,7 +480,6 @@ class ECMDriver:
                 if f:
                     self._report_factor(f, 2, base_idx + i, sigmas[i], self.b2)
             self._check_batch(res.acc, sigmas, 2, self.b2, base_idx)
-        return residues
 
     # ------------------------------------------------------------------
 

@@ -29,6 +29,12 @@ def main(argv=None) -> int:
         except Exception:
             pass
     argv = list(sys.argv[1:] if argv is None else argv)
+    curve_mode = "suyama"
+    if "-edwards" in argv:
+        # a=-1 twisted Edwards stage 1 (curve/edwards.py): ~20% fewer
+        # weighted muls/bit than Montgomery PRAC, 4 | order vs Suyama's 12
+        argv.remove("-edwards")
+        curve_mode = "edwards"
     if argv and argv[0] == "-calc":
         # interactive calculator with persistent user variables and `ans`
         # (the calc.c uvar surface, /root/reference/calc.c:273-302)
@@ -53,6 +59,7 @@ def main(argv=None) -> int:
         return 0
     if len(argv) < 3:
         print("usage: avx-ecm-tpu $input $numcurves $B1 [$batch] [$B2] [$sigma]"
+              "\n       avx-ecm-tpu -edwards ...    (a=-1 Edwards stage 1)"
               "\n       avx-ecm-tpu -resume $savefile $B2"
               "\n       avx-ecm-tpu -calc          (interactive calculator)")
         return 1
@@ -67,7 +74,7 @@ def main(argv=None) -> int:
 
     print(f"commencing parallel ecm on {n}")
     cfg = driver.RunConfig(n=n, curves=curves, b1=b1, b2=b2, sigma=sigma,
-                           batch=batch)
+                           batch=batch, curve_mode=curve_mode)
     result = driver.ECMDriver(cfg).run()
     if result.factors:
         for h in result.factors:

@@ -788,3 +788,135 @@ def make_tape_executor(ctx: MontyCtx, batch: int, chunk: int = 8192,
         return pts4
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# Edwards a=-1 stage-1 executor (curve/edops.py's Pallas twin)
+# ---------------------------------------------------------------------------
+
+ED_NOP = 4          # matches curve.edwards.ED_NOP
+
+
+def _ed_tape_kernel(ctx: MontyCtx, tape_ref, acc_in, table_in, acc_out):
+    """wNAF tape replay on the extended-coordinate accumulator
+    [4, NW, Bs, 128] with the cached window table [Tp, 3, NW, Bs, 128]
+    resident in VMEM.  Formulas mirror curve/edops.py exactly (3M+4S
+    doubling, 7M cached mixed add, free negation) so the engines stay
+    bit-identical."""
+    mulmod, sqrmod, norm1 = _make_arith(ctx)
+
+    acc_out[...] = acc_in[...]
+    nsteps = tape_ref.shape[0] // 2
+
+    def edbl(want_t):
+        X, Y, Z, T = acc_out[0], acc_out[1], acc_out[2], acc_out[3]
+        A = sqrmod(X, pre=True)
+        B = sqrmod(Y, pre=True)
+        C1 = sqrmod(Z, pre=True)
+        C = norm1(C1 + C1)
+        E0 = sqrmod(norm1(X + Y), pre=True)
+        E = norm1(norm1(E0 - A) - B)
+        G = norm1(B - A)
+        F = norm1(G - C)
+        H = -norm1(A + B)
+        T3 = mulmod(E, H, pre=True) if want_t else T
+        return jnp.stack([mulmod(E, F, pre=True), mulmod(G, H, pre=True),
+                          mulmod(F, G, pre=True), T3])
+
+    def eadd(tab, negate):
+        X, Y, Z, T = acc_out[0], acc_out[1], acc_out[2], acc_out[3]
+        s1, d1 = norm1(Y + X), norm1(Y - X)
+        ka, kb = (tab[1], tab[0]) if negate else (tab[0], tab[1])
+        A = mulmod(d1, ka, pre=True)
+        B = mulmod(s1, kb, pre=True)
+        C = mulmod(T, tab[2], pre=True)
+        if negate:
+            C = -C
+        D = norm1(Z + Z)
+        H, E = norm1(B + A), norm1(B - A)
+        G, F = norm1(D + C), norm1(D - C)
+        return jnp.stack([mulmod(E, F, pre=True), mulmod(G, H, pre=True),
+                          mulmod(F, G, pre=True), T])
+
+    def step(k, _):
+        op = tape_ref[2 * k]
+        arg = tape_ref[2 * k + 1]
+        tab = table_in[arg]
+
+        new = jax.lax.switch(op, [
+            lambda _: edbl(False),
+            lambda _: edbl(True),
+            lambda _: eadd(tab, False),
+            lambda _: eadd(tab, True),
+            lambda _: jnp.stack([acc_out[0], acc_out[1], acc_out[2],
+                                 acc_out[3]]),
+        ], None)
+        acc_out[...] = new
+        return 0
+
+    jax.lax.fori_loop(0, nsteps, step, 0)
+
+
+def make_edwards_executor(ctx: MontyCtx, batch: int, table_pts: int,
+                          chunk: int = 8192, interpret: bool = False,
+                          sharder=None):
+    """Returns run(acc [4,NW,B], tape [T,2], table [Tp,3,NW,B]) -> acc.
+
+    Same chunking contract as make_tape_executor: NOP-padded fixed-size
+    chunks driven from Python, accumulator aliased in/out so curve state
+    stays in VMEM/HBM, table replicated per device under a Sharder."""
+    p = ctx.p
+    nw = p.nw
+    loc = _local_batch(batch, sharder)
+    bs = loc // LANE
+
+    kern = functools.partial(_ed_tape_kernel, ctx)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # acc
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # table
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+
+    call = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((4, nw, bs, LANE), jnp.int32),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    def chunk_body(t, acc, table):
+        bl = acc.shape[-1]
+        out = call(t, acc.reshape(4, nw, bl // LANE, LANE),
+                   table.reshape(table_pts, 3, nw, bl // LANE, LANE))
+        return out.reshape(4, nw, bl)
+
+    ax = sharder.axis_name if sharder is not None else None
+    chunk_call = _jit_maybe_sharded(
+        chunk_body, sharder,
+        in_specs=(P(None), P(None, None, ax), P(None, None, None, ax)),
+        out_specs=P(None, None, ax), donate=(1,))
+
+    def run(acc, tape, table):
+        acc4 = jnp.asarray(acc)
+        tab4 = jnp.asarray(table)
+        tape_np = np.asarray(tape)
+        t = tape_np.shape[0]
+        npad = (-t) % chunk
+        if npad:
+            nop = np.tile(np.asarray([[ED_NOP, 0]], np.int32), (npad, 1))
+            tape_np = np.concatenate([tape_np, nop], axis=0)
+        flat = tape_np.reshape(-1)
+        for lo in range(0, flat.shape[0], 2 * chunk):
+            acc4 = chunk_call(jnp.asarray(flat[lo:lo + 2 * chunk]), acc4,
+                              tab4)
+        return acc4
+
+    return run
