@@ -1,0 +1,134 @@
+"""RNS/MXU stage-1 engine: executor exactness (jnp + Pallas interpret, incl.
+the digit-split bf16 matmul path at large K), sharded parity, driver
+end-to-end, and auto-dispatch.  The split path is the MXU formulation — the
+same base-extension dots the TPU kernel runs (limbs/rns.py docstring)."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moduli import N256
+from tpu_ecm import driver, params
+from tpu_ecm.curve import oracle, prac, suyama
+from tpu_ecm.limbs import rns, rns_exec
+from tpu_ecm.primes import primes_range
+
+
+def _prp(rng, bits):
+    while True:
+        c = rng.getrandbits(bits) | 1 | (1 << (bits - 1))
+        if all(pow(a, c - 1, c) == 1 for a in (2, 3, 5, 7, 11)):
+            return c
+
+
+def _setup(n, b1, nburn, cw=13):
+    ctx = params.make_monty(n)
+    h = rns.make_rns(ctx, cw=cw)
+    curves = [suyama.build_one_curve(ctx, 9000 + i) for i in range(nburn)]
+    tape = prac.stage1_tape(primes_range(0, b1), b1)
+    conv = ctx.from_mont_int
+    pts, sc = rns_exec.init_state(
+        h, [conv(c.x_mont) for c in curves],
+        [conv(c.z_mont) for c in curves],
+        [conv(c.s_mont) for c in curves])
+    return ctx, h, curves, tape, pts, sc
+
+
+def _assert_oracle(ctx, h, curves, tape, pts_out, idxs):
+    xs, zs = rns_exec.extract_point(h, np.asarray(pts_out))
+    for i in idxs:
+        slots = oracle.run_tape_int(ctx, tape.tolist(), curves[i].x_mont,
+                                    curves[i].z_mont, curves[i].s_mont)
+        ex, ez = slots[0]
+        assert xs[i] == ctx.from_mont_int(ex)
+        assert zs[i] == ctx.from_mont_int(ez)
+
+
+def test_rns_pallas_tape_small():
+    """Pallas kernel (interpret) == jnp scan == int oracle, direct-dot K."""
+    ctx, h, curves, tape, pts, sc = _setup(N256, 200, 128)
+    out_j = jax.jit(rns_exec.run_tape)(jnp.asarray(pts), jnp.asarray(tape),
+                                       jnp.asarray(sc), h.dev)
+    run = rns_exec.make_rns_tape_executor(h, 128, chunk=64, interpret=True)
+    out_p = run(pts, tape, sc)
+    assert np.array_equal(np.asarray(out_j[0]), np.asarray(out_p[0]))
+    _assert_oracle(ctx, h, curves, tape, out_p, [0, 5, 127])
+
+
+def test_rns_pallas_tape_split_1536bit():
+    """The large-moduli regime: K > 127 forces the 7-bit digit-split bf16
+    matmul extensions; kernel output must stay bit-exact vs the oracle."""
+    rng = random.Random(11)
+    n = _prp(rng, 768) * _prp(rng, 768)
+    ctx, h, curves, tape, pts, sc = _setup(n, 100, 128)
+    assert h.dev.use_split and h.K >= 128
+    run = rns_exec.make_rns_tape_executor(h, 128, chunk=64, interpret=True)
+    out_p = run(pts, tape, sc)
+    _assert_oracle(ctx, h, curves, tape, out_p, [0, 17, 127])
+
+
+def test_rns_executor_sharded_parity():
+    """shard_mapped RNS kernel over the 8-device CPU mesh == single-device
+    (the multi-chip contract for the MXU engine)."""
+    from tpu_ecm.parallel import mesh as _mesh
+    ctx, h, curves, tape, pts, sc = _setup(N256, 150, 8 * 128)
+    sh = _mesh.Sharder(jax.devices()[:8])
+    run1 = rns_exec.make_rns_tape_executor(h, 8 * 128, chunk=64,
+                                           interpret=True)
+    out1 = np.asarray(run1(pts, tape, sc))
+    runs = rns_exec.make_rns_tape_executor(h, 8 * 128, chunk=64,
+                                           interpret=True, sharder=sh)
+    outs = np.asarray(runs(sh.device_put_state(pts),
+                           tape, sh.device_put_plane(sc)))
+    assert np.array_equal(out1, outs)
+
+
+def _cfg(tmp_path, **kw):
+    kw.setdefault("save_b1_path", str(tmp_path / "save_b1.txt"))
+    kw.setdefault("checkpoint_path", str(tmp_path / "checkpoint.txt"))
+    kw.setdefault("results_path", str(tmp_path / "ecm_results.txt"))
+    kw.setdefault("cache_dir", str(tmp_path / "cache"))
+    kw.setdefault("verbose", 0)
+    return driver.RunConfig(**kw)
+
+
+def test_rns_engine_end_to_end(tmp_path):
+    """Full driver with engine='rns': stage-1 find, savefile, digit-plane
+    stage-2 handoff find — same pinned sigmas as the digit-engine e2e."""
+    P35, P36 = 34359738421, 68719476767
+    cfg = _cfg(tmp_path, n=P35 * P36, curves=4, b1=300, b2=10000, sigma=172,
+               engine="rns")
+    res = driver.ECMDriver(cfg).run()
+    assert any(h.factor == P35 and h.stage == 1 and h.sigma == 174
+               for h in res.factors)
+    cfg2 = _cfg(tmp_path, n=P35 * P36, curves=4, b1=300, b2=10000, sigma=110,
+                engine="rns", stop_on_factor=False)
+    res2 = driver.ECMDriver(cfg2).run()
+    assert any(h.factor == P35 and h.stage == 2 and h.sigma == 112
+               for h in res2.factors)
+
+
+def test_rns_engine_matches_digit_engine(tmp_path):
+    """Same run, both engines: identical stage-1 residues (two independent
+    arithmetic stacks, one canonical answer)."""
+    n = N256
+    r1 = driver.ECMDriver(_cfg(tmp_path, n=n, curves=4, b1=500, b2=500,
+                               sigma=40, engine="digit")).run()
+    r2 = driver.ECMDriver(_cfg(tmp_path, n=n, curves=4, b1=500, b2=500,
+                               sigma=40, engine="rns")).run()
+    assert r1.stage1_residues == r2.stage1_residues
+
+
+def test_engine_auto_dispatch(tmp_path):
+    rng = random.Random(3)
+    big = _prp(rng, 768) * _prp(rng, 768)
+    d1 = driver.ECMDriver(_cfg(tmp_path, n=N256, curves=1, b1=100))
+    assert d1.engine == "digit"
+    d2 = driver.ECMDriver(_cfg(tmp_path, n=big, curves=1, b1=100))
+    assert d2.engine == "rns"
+    with pytest.raises(ValueError):
+        driver.ECMDriver(_cfg(tmp_path, n=N256, curves=1, b1=100,
+                              engine="rns", curve_mode="edwards"))

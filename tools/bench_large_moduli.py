@@ -1,9 +1,10 @@
 """Measure per-point-op cost across moduli sizes on the current kernels.
 
-Used to place BLOCKED_NW (flat-vs-blocked crossover) and to track the
-large-moduli numbers quoted in BENCH_NOTES.md.  Run on the TPU:
+Used to place BLOCKED_NW (flat-vs-blocked crossover) and driver.RNS_MIN_BITS
+(digit/VPU vs RNS/MXU crossover), and to track the large-moduli numbers
+quoted in BENCH_NOTES.md.  Run on the TPU:
 
-    PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_large_moduli.py [nbits ...]
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_large_moduli.py [-rns|-both] [nbits ...]
 """
 
 import os
@@ -27,7 +28,13 @@ def main():
     from tpu_ecm.limbs import layout, pallas_ops
     from tpu_ecm.primes import primes_range
 
-    sizes = [int(a) for a in sys.argv[1:]] or [605, 999]
+    args = sys.argv[1:]
+    mode = "digit"
+    for flag in ("-rns", "-both"):
+        if flag in args:
+            args.remove(flag)
+            mode = flag[1:]
+    sizes = [int(a) for a in args] or [605, 999]
     b1 = 3000
     tape = prac.stage1_tape(primes_range(0, b1), b1)
     steps = tape.shape[0]
@@ -59,25 +66,53 @@ def main():
             n -= 2
         ctx = params.make_monty(n, mersenne=None)
         p = ctx.p
-        batch = pallas_ops.default_batch(ctx)
-        curves = [suyama.build_one_curve(ctx, 7000 + i) for i in range(batch)]
-        pts = np.zeros((ops.NUM_SLOTS, 2, p.nw, batch), dtype=np.int32)
-        pts[0, 0] = layout.pack_batch([c.x_mont for c in curves], p.w, p.nw)
-        pts[0, 1] = layout.pack_batch([c.z_mont for c in curves], p.w, p.nw)
-        s_const = jnp.asarray(layout.pack_batch(
-            [c.s_mont for c in curves], p.w, p.nw))
-        run = pallas_ops.make_tape_executor(ctx, batch)
-        out = run(jnp.asarray(pts), tape, s_const)
-        _ = np.asarray(out[0, 0, :1])
-        t0 = time.time()
-        out = run(out, tape, s_const)
-        _ = np.asarray(out[0, 0, :1])
-        dt = (time.time() - t0) / steps
-        sched = ("blocked" if p.nw > pallas_ops.BLOCKED_NW else
-                 ("kara" if p.nw >= pallas_ops.KARA_NW else "school"))
-        print(f"nbits={nbits} nw={p.nw} w={p.w} norm={p.norm_inputs} "
-              f"batch={batch} sched={sched}: {dt*1e6:.1f} us/point-op "
-              f"({dt*1e9/batch:.1f} ns/curve)")
+
+        if mode in ("digit", "both"):
+            batch = pallas_ops.default_batch(ctx)
+            curves = [suyama.build_one_curve(ctx, 7000 + i)
+                      for i in range(batch)]
+            pts = np.zeros((ops.NUM_SLOTS, 2, p.nw, batch), dtype=np.int32)
+            pts[0, 0] = layout.pack_batch([c.x_mont for c in curves],
+                                          p.w, p.nw)
+            pts[0, 1] = layout.pack_batch([c.z_mont for c in curves],
+                                          p.w, p.nw)
+            s_const = jnp.asarray(layout.pack_batch(
+                [c.s_mont for c in curves], p.w, p.nw))
+            run = pallas_ops.make_tape_executor(ctx, batch)
+            out = run(jnp.asarray(pts), tape, s_const)
+            _ = np.asarray(out[0, 0, :1])
+            t0 = time.time()
+            out = run(out, tape, s_const)
+            _ = np.asarray(out[0, 0, :1])
+            dt = (time.time() - t0) / steps
+            sched = ("blocked" if p.nw > pallas_ops.BLOCKED_NW else
+                     ("kara" if p.nw >= pallas_ops.KARA_NW else "school"))
+            print(f"nbits={nbits} nw={p.nw} w={p.w} norm={p.norm_inputs} "
+                  f"batch={batch} sched={sched}: {dt*1e6:.1f} us/point-op "
+                  f"({dt*1e9/batch:.1f} ns/curve)", flush=True)
+
+        if mode in ("rns", "both"):
+            from tpu_ecm.limbs import rns, rns_exec
+            h = rns.make_rns(ctx, cw=rns.choose_cw(nbits))
+            batch = rns_exec.default_batch(h)
+            curves = [suyama.build_one_curve(ctx, 7000 + i)
+                      for i in range(batch)]
+            conv = ctx.from_mont_int
+            pts, sc = rns_exec.init_state(
+                h, [conv(c.x_mont) for c in curves],
+                [conv(c.z_mont) for c in curves],
+                [conv(c.s_mont) for c in curves])
+            run = rns_exec.make_rns_tape_executor(h, batch)
+            out = run(jnp.asarray(pts), tape, jnp.asarray(sc))
+            _ = np.asarray(out[0, 0, :1])
+            t0 = time.time()
+            out = run(out, tape, sc)
+            _ = np.asarray(out[0, 0, :1])
+            dt = (time.time() - t0) / steps
+            print(f"nbits={nbits} K={h.K} rows={h.dev.rows} "
+                  f"split={h.dev.use_split} batch={batch} sched=rns/mxu: "
+                  f"{dt*1e6:.1f} us/point-op "
+                  f"({dt*1e9/batch:.1f} ns/curve)", flush=True)
 
 
 if __name__ == "__main__":

@@ -64,6 +64,18 @@ class RunConfig:
     # parity, 12 | order); "edwards" = a=-1 twisted Edwards signed-window
     # (~20% fewer weighted muls/bit, 4 | order — see curve/edwards.py)
     curve_mode: str = "suyama"
+    # stage-1 arithmetic engine: "digit" = int32 digit planes on the VPU
+    # (limbs/pallas_ops.py); "rns" = residue channels with MXU base
+    # extensions (limbs/rns_exec.py) — the large-moduli regime the
+    # reference concedes (/root/reference/README.md:2).  "auto" switches
+    # to RNS at RNS_MIN_BITS for non-Mersenne Suyama runs.
+    engine: str = "auto"
+
+
+# auto-engine crossover: the digit/VPU path's cost grows ~nw^2 in VPU issue
+# slots while the RNS/MXU path rides the systolic array; threshold set from
+# measurement (see BENCH_NOTES.md round-2 RNS section)
+RNS_MIN_BITS = 1400
 
 
 @dataclasses.dataclass
@@ -188,6 +200,26 @@ class ECMDriver:
                 pass
         self.use_pallas = (cfg.use_pallas if cfg.use_pallas is not None
                            else jax.default_backend() != "cpu")
+        if cfg.engine not in ("auto", "digit", "rns"):
+            raise ValueError(f"unknown engine {cfg.engine!r}")
+        if cfg.engine == "rns" and cfg.curve_mode == "edwards":
+            # the Edwards ladder nests two subtractions (E = E0 - A - B),
+            # breaking the RNS 2V input bound (rns_exec.py docstring)
+            raise ValueError("engine='rns' supports curve_mode='suyama' only")
+        self.engine = cfg.engine
+        if self.engine == "auto":
+            self.engine = ("rns" if (self.ctx.p.nbits >= RNS_MIN_BITS
+                                     and not self.ctx.is_mersenne
+                                     and cfg.curve_mode == "suyama")
+                           else "digit")
+        self._rns_host = None
+        if self.engine == "rns":
+            from .limbs import rns as _rns
+            self._rns_host = _rns.make_rns(
+                self.ctx, cw=_rns.choose_cw(self.ctx.p.nbits))
+            if cfg.verbose:
+                print(f"stage-1 engine: RNS/MXU, K={self._rns_host.K} "
+                      f"channels x 2 bases")
         self._executors: Dict[int, object] = {}
         self._s2_executors: Dict = {}
         seed = _rng.hash64(int(time.time() * 1e6) & ((1 << 64) - 1))
@@ -257,6 +289,110 @@ class ECMDriver:
 
             self._executors[batch] = runner
         return self._executors[batch]
+
+    def _rns_tape_runner(self, batch: int):
+        """Stage-1 tape executor for the RNS/MXU engine: Pallas kernel on
+        TPU (base extensions on the systolic array), jnp scan elsewhere;
+        both run the same rns.mont_mul and are bit-identical."""
+        from .limbs import rns_exec
+        sh = self.cfg.sharder
+        local = batch // sh.n if sh is not None else batch
+        key = ("rns", batch)
+        if key not in self._executors:
+            if self.use_pallas and local % 128 == 0:
+                run = rns_exec.make_rns_tape_executor(
+                    self._rns_host, batch, sharder=sh,
+                    chunk=256 if self.cfg.pallas_interpret else 4096,
+                    interpret=self.cfg.pallas_interpret)
+
+                def runner(pts, tape, s_const, dctx):
+                    return run(pts, tape, s_const)
+            else:
+                import jax
+                import jax.numpy as jnp
+                jrun = jax.jit(rns_exec.run_tape)
+                rc = self._rns_host.dev
+
+                def runner(pts, tape, s_const, dctx):
+                    return jrun(pts, jnp.asarray(tape), s_const, rc)
+
+            self._executors[key] = runner
+        return self._executors[key]
+
+    def _run_batch_rns(self, sigmas: List[int], base_idx: int
+                       ) -> List[Tuple[int, int, int]]:
+        """Stage 1 on RNS residue planes (large moduli), then the digit-
+        plane stage 2 on the repacked result — the representations meet at
+        canonical (X, Z) integers, exactly like a savefile round-trip."""
+        import jax.numpy as jnp
+
+        from .limbs import rns_exec
+        cfg, ctx = self.cfg, self.ctx
+        h = self._rns_host
+        t0 = time.time()
+        curves = []
+        for s in sigmas:
+            for attempt in range(64):
+                try:
+                    curves.append(suyama.build_one_curve(ctx, s))
+                    break
+                except suyama.FactorFoundDuringBuild as e:
+                    if e.factor:
+                        self._report_factor(e.factor, 0, base_idx, e.sigma,
+                                            cfg.b1)
+                    s = s + 1_000_003
+            else:
+                raise RuntimeError(
+                    "curve construction kept hitting gcd factors; "
+                    "input has many small factors — divide them out first")
+        sigmas = [c.sigma for c in curves]
+        conv = ctx.from_mont_int
+        pts, sc = rns_exec.init_state(
+            h, [conv(c.x_mont) for c in curves],
+            [conv(c.z_mont) for c in curves],
+            [conv(c.s_mont) for c in curves])
+        if cfg.sharder is not None:
+            pts = cfg.sharder.device_put_state(pts)
+            sc = cfg.sharder.device_put_plane(sc)
+        else:
+            pts, sc = jnp.asarray(pts), jnp.asarray(sc)
+        state = _stage1.Stage1State(pts=pts, s_const=sc)
+        self.timings["build"] = self.timings.get("build", 0) + time.time() - t0
+
+        t0 = time.time()
+        run_tape = self._rns_tape_runner(len(sigmas))
+        for chunk, state in _stage1.run_stage1(
+                state, None, cfg.b1, self.stream,
+                cache_dir=cfg.cache_dir, run_tape=run_tape,
+                full_prac=cfg.full_prac):
+            for k in ("ptadds", "ptdups", "numprimes"):
+                self.counters[k] = (self.counters.get(k, 0)
+                                    + getattr(chunk, k))
+            if not chunk.is_final:
+                xs, zs = rns_exec.extract_point(h, np.asarray(state.pts))
+                self._check_batch(zs, sigmas, 1, chunk.last_prime, base_idx)
+                self._write_save(cfg.checkpoint_path, sigmas, xs, zs,
+                                 chunk.last_prime)
+        xs, zs = rns_exec.extract_point(h, np.asarray(state.pts))
+        self.timings["stage1"] = (self.timings.get("stage1", 0)
+                                  + time.time() - t0)
+        if cfg.verbose >= 2:
+            print(f"Stage 1 completed, {self.counters.get('ptadds', 0)} "
+                  f"point-adds, {self.counters.get('ptdups', 0)} "
+                  f"point-doubles over {self.counters.get('numprimes', 0)} "
+                  f"primes")
+        self._check_batch(zs, sigmas, 1, cfg.b1, base_idx)
+        self._write_save(cfg.save_b1_path, sigmas, xs, zs, cfg.b1)
+        residues = [(s, x, z) for s, x, z in zip(sigmas, xs, zs)]
+
+        # digit-plane handoff for stage 2
+        if self.do_stage2:
+            st2 = _stage1.init_state(
+                ctx, [ctx.to_mont_int(x) for x in xs],
+                [ctx.to_mont_int(z) for z in zs],
+                [c.s_mont for c in curves], sharder=cfg.sharder)
+            self._run_stage2(st2.pts[0], st2.s_const, sigmas, base_idx)
+        return residues
 
     def _ed_runner(self, batch: int, table_pts: int):
         """Edwards tape executor: Pallas on TPU, jnp scan elsewhere."""
@@ -378,6 +514,8 @@ class ECMDriver:
         cfg, ctx = self.cfg, self.ctx
         if cfg.curve_mode == "edwards":
             return self._run_batch_edwards(sigmas, base_idx)
+        if self.engine == "rns":
+            return self._run_batch_rns(sigmas, base_idx)
         t0 = time.time()
         curves = []
         for s in sigmas:
@@ -496,10 +634,14 @@ class ECMDriver:
             # per-chip sweet spot: VMEM/register pressure scales with
             # nw * batch (measured optima 2048 lanes at nw=40, 896 at nw=93);
             # a sharded mesh takes the sweet spot PER DEVICE
-            from .limbs import pallas_ops
             ndev = cfg.sharder.n if cfg.sharder is not None else 1
-            batch = min(max(total, 128 * ndev),
-                        pallas_ops.default_batch(self.ctx) * ndev)
+            if self.engine == "rns":
+                from .limbs import rns_exec
+                per_dev = rns_exec.default_batch(self._rns_host)
+            else:
+                from .limbs import pallas_ops
+                per_dev = pallas_ops.default_batch(self.ctx)
+            batch = min(max(total, 128 * ndev), per_dev * ndev)
         else:
             batch = total
         if self.use_pallas:

@@ -29,6 +29,11 @@ def main(argv=None) -> int:
         except Exception:
             pass
     argv = list(sys.argv[1:] if argv is None else argv)
+    engine = "auto"
+    for flag in ("-rns", "-digit"):
+        if flag in argv:
+            argv.remove(flag)
+            engine = flag[1:]
     curve_mode = "suyama"
     if "-edwards" in argv:
         # a=-1 twisted Edwards stage 1 (curve/edwards.py): ~20% fewer
@@ -60,6 +65,7 @@ def main(argv=None) -> int:
     if len(argv) < 3:
         print("usage: avx-ecm-tpu $input $numcurves $B1 [$batch] [$B2] [$sigma]"
               "\n       avx-ecm-tpu -edwards ...    (a=-1 Edwards stage 1)"
+              "\n       avx-ecm-tpu -rns|-digit ... (force stage-1 engine)"
               "\n       avx-ecm-tpu -resume $savefile $B2"
               "\n       avx-ecm-tpu -calc          (interactive calculator)")
         return 1
@@ -74,7 +80,7 @@ def main(argv=None) -> int:
 
     print(f"commencing parallel ecm on {n}")
     cfg = driver.RunConfig(n=n, curves=curves, b1=b1, b2=b2, sigma=sigma,
-                           batch=batch, curve_mode=curve_mode)
+                           batch=batch, curve_mode=curve_mode, engine=engine)
     result = driver.ECMDriver(cfg).run()
     if result.factors:
         for h in result.factors:

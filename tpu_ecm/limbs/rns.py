@@ -33,8 +33,15 @@ by <= 2, fixed with selects) — the 24-bit-exact-float trick in the same
 spirit as the reference's 52-bit FMA arithmetic (/root/reference/
 vecarith52.c:199-247), sized for the TPU's f32 VPU.
 
-This module is the exact jnp implementation + host conversions; the Pallas/
-MXU kernel lands on top of it (see ARCHITECTURE.md round-2 plan).
+MXU exactness: a direct int32 dot overflows once K * (2^cw-1)^2 >= 2^31
+(K > ~127 at cw=12), and int matmuls are not the MXU's native mode anyway.
+The *split* path decomposes both dot operands into 7-bit digits — exact in
+bfloat16 (integers < 2^9) — and runs four bf16 matmuls with f32
+accumulation: every partial sum is < 2*K*127^2 < 2^24 for K <= 520, i.e.
+exactly representable, so the recombined integer is bit-exact at full MXU
+throughput.  rns_exec.py's Pallas kernel always uses the split tables;
+this jnp model uses them whenever the direct dot would overflow (keeping
+CPU tests cheap at small K).
 """
 
 from __future__ import annotations
@@ -83,8 +90,21 @@ class RnsCtx:
     qmod_ar: jax.Array    # [K+1, 1] |Q|_{p_i / m_r} (r row unused)
     comp_a: jax.Array     # [K, 1]  per-channel nonneg compensation (mult of p)
     f_sub: jax.Array      # [2K+1, 1] residues of F = 2K*N (subtraction lift)
+    # 7-bit digit-split extension tables, transposed and stacked for ONE
+    # [2*kp, K] @ [K, 2B] MXU matmul per extension: rows [0:K+1] carry
+    # w.T & 127, rows [kp:kp+K+1] carry w.T >> 7 (kp = K+8 keeps the hi
+    # block sublane-tile aligned; filler rows are zero)
+    w1t_cat: jax.Array    # [2*kp, K] bf16
+    w2t_cat: jax.Array    # [2*kp, K] bf16
+    t14: jax.Array        # [K+1, 1] int32  2^14 mod (q_j / m_r rows)
+    t14_a: jax.Array      # [K+1, 1] int32  2^14 mod (p_i / m_r rows)
+    p_ar: jax.Array       # [K+1, 1] int32  (p_i / m_r rows)
+    inv_ar: jax.Array     # [K+1, 1] f32
     K: int = dataclasses.field(metadata=dict(static=True))
     mr_shift: int = dataclasses.field(metadata=dict(static=True))
+    use_split: bool = dataclasses.field(metadata=dict(static=True),
+                                        default=False)
+    kp: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def rows(self) -> int:
@@ -134,12 +154,25 @@ class RnsHost:
         return (x * pow(self.P, -1, self.ctx.n_int)) % self.ctx.n_int
 
 
+def choose_cw(nbits: int) -> int:
+    """Channel width for the MXU engine: cw=13 gives the fewest channels
+    (least matmul work) while pi(2^13) = 1028 primes cover 2K channels all
+    the way to the K <= 520 f32-exactness bound (~6200-bit moduli), and K
+    lands just under the 128 MXU tile at the 1500-bit entry point
+    (K ~ 117)."""
+    del nbits
+    return 13
+
+
 def make_rns(ctx: MontyCtx, cw: int = 12) -> RnsHost:
     """Build RNS bases and constant tables for modulus ctx.n_int."""
     n = ctx.n_int
     mr = 1 << (cw + 1)
-    # grow K until P >= 16*K*N and Q >= 4*K*N
-    K = max(4, (n.bit_length() + cw - 1) // (cw - 1))
+    # grow K until P >= 16*K*N and Q >= 4*K*N (start at the optimistic
+    # floor — every extra channel costs O(K) matmul work).  K is kept a
+    # multiple of 8 so the A/B sub-base slices of the [2K+1, B] residue
+    # planes stay sublane-tile-aligned in the Pallas kernel.
+    K = max(8, (n.bit_length() // cw + 7) // 8 * 8)
     while True:
         chans = _primes_below(1 << cw, 2 * K)
         pa, pb = chans[:K], chans[K:]
@@ -151,7 +184,7 @@ def make_rns(ctx: MontyCtx, cw: int = 12) -> RnsHost:
             Q *= q
         if P >= 16 * K * n and Q >= 4 * K * n:
             break
-        K += 1
+        K += 8
     V = 2 * K * n
     F = 2 * K * n  # subtraction lift, multiple of N, >= V
 
@@ -185,6 +218,26 @@ def make_rns(ctx: MontyCtx, cw: int = 12) -> RnsHost:
     allp = np.asarray([[p] for p in pa + pb + [mr, mr]], dtype=np.int32)
     inv_p = (1.0 / allp.astype(np.float64)).astype(np.float32)
 
+    # 7-bit digit-split tables (see module docstring): exact bf16 operands,
+    # partial sums f32-exact while 2*K*127^2 < 2^24
+    if K > 520:
+        raise ValueError(f"K={K}: split extension exceeds f32 exactness")
+    kp = K + 8
+    w1t = w1.T.astype(np.int64)          # [K+1, K]
+    w2t = w2.T.astype(np.int64)
+
+    def cat(wt):
+        out = np.zeros((2 * kp, K), dtype=np.int64)
+        out[:K + 1] = wt & 127
+        out[kp:kp + K + 1] = wt >> 7
+        return out
+
+    bf = jnp.bfloat16
+    t14 = np.asarray([[(1 << 14) % q] for q in rows_br], dtype=np.int32)
+    t14_a = np.asarray([[(1 << 14) % p] for p in rows_ar], dtype=np.int32)
+    # direct int32 dot is exact only while the worst-case column sum fits
+    use_split = K * (max(pa + pb) ** 2) >= 2 ** 31
+
     dev = RnsCtx(
         p=jnp.asarray(allp), inv_p=jnp.asarray(inv_p),
         c1=jnp.asarray(c1), w1=jnp.asarray(w1),
@@ -192,7 +245,13 @@ def make_rns(ctx: MontyCtx, cw: int = 12) -> RnsHost:
         qdivinv=jnp.asarray(qdivinv), w2=jnp.asarray(w2),
         qinv_r=jnp.asarray(qinv_r), qmod_ar=jnp.asarray(qmod_ar),
         comp_a=jnp.asarray(comp_a), f_sub=jnp.asarray(f_sub),
-        K=K, mr_shift=cw + 1)
+        w1t_cat=jnp.asarray(cat(w1t), dtype=bf),
+        w2t_cat=jnp.asarray(cat(w2t), dtype=bf),
+        t14=jnp.asarray(t14), t14_a=jnp.asarray(t14_a),
+        p_ar=jnp.asarray(np.asarray([[p] for p in rows_ar], np.int32)),
+        inv_ar=jnp.asarray((1.0 / np.asarray(
+            [[p] for p in rows_ar], np.float64)).astype(np.float32)),
+        K=K, mr_shift=cw + 1, use_split=use_split, kp=kp)
     return RnsHost(ctx=ctx, pa=pa, pb=pb, mr=mr, P=P, Q=Q, K=K, V=V, dev=dev)
 
 
@@ -216,6 +275,40 @@ def _chan_mul(x, y, p, inv_p):
     return _modred(x * y, p, inv_p)
 
 
+def _ext_dot_split(x, wt_cat, kp, p, inv_p, t14):
+    """Exact base-extension dot w.T @ x ([K+1,K] @ [K,B]) via 7-bit digit
+    decomposition: ONE [2*kp, K] @ [K, 2B] bf16 matmul with f32
+    accumulation (every operand < 2^9 and every partial sum
+    < 2*K*127^2 < 2^24 are exactly representable), whose four quadrants
+    are the digit products, recombined as P_ll + 2^7*P_m + 2^14*P_hh.
+
+    Returns (value reduced mod the per-row modulus [K+1,B],
+             exact value mod 2^14 [K+1,B] — feeds the Shenoy r channel).
+    This is the MXU path: the reference spends this work on AVX-512 FMA
+    columns (/root/reference/vecarith52.c); here it is a matrix product
+    with a SHARED weight matrix, the systolic array's native shape."""
+    f, bf = jnp.float32, jnp.bfloat16
+    kk, b = x.shape
+    x_lo = jnp.bitwise_and(x, 127).astype(f).astype(bf)
+    x_hi = jnp.right_shift(x, 7).astype(f).astype(bf)
+    xc = jnp.concatenate([x_lo, x_hi], axis=1)                   # [K, 2B]
+    y = jax.lax.dot_general(wt_cat, xc, (((1,), (0,)), ((), ())),
+                            preferred_element_type=f)            # [2kp, 2B]
+    i_ll = y[:kk + 1, :b].astype(jnp.int32)
+    i_m = (y[:kk + 1, b:] + y[kp:kp + kk + 1, :b]).astype(jnp.int32)
+    i_hh = y[kp:kp + kk + 1, b:].astype(jnp.int32)
+    # only the scaled partials need pre-reduction: the recombined value
+    # P_ll + 2^7*(P_m mod p) + t14*(P_hh mod p) stays < 2^27
+    r_m = _modred(i_m, p, inv_p)
+    r_hh = _modred(i_hh, p, inv_p)
+    red = _modred(i_ll + jnp.left_shift(r_m, 7) + t14 * r_hh, p, inv_p)
+    m14 = (1 << 14) - 1
+    low14 = jnp.bitwise_and(
+        jnp.bitwise_and(i_ll, m14)
+        + jnp.left_shift(jnp.bitwise_and(i_m, m14), 7), m14)
+    return red, low14
+
+
 def mont_mul(x: jax.Array, y: jax.Array, rc: RnsCtx) -> jax.Array:
     """RNS Montgomery product of [2K+1, B] residue planes."""
     K = rc.K
@@ -228,21 +321,30 @@ def mont_mul(x: jax.Array, y: jax.Array, rc: RnsCtx) -> jax.Array:
     sigma = _chan_mul(s_a, rc.c1, pA, invA)                      # [K, B]
 
     # extension 1 (A -> B, r): M0 = sigma^T @ W1  (shared matrix -> MXU)
-    m0 = jax.lax.dot_general(rc.w1, sigma, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.int32)   # [K+1, B]
-    m0 = _modred(m0, pBr, invBr)
+    if rc.use_split:
+        m0, _ = _ext_dot_split(sigma, rc.w1t_cat, rc.kp, pBr, invBr,
+                               rc.t14)
+    else:
+        m0 = jax.lax.dot_general(rc.w1, sigma, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        m0 = _modred(m0, pBr, invBr)                             # [K+1, B]
 
-    u = s_br + m0 * rc.n_br                                      # < 2^25
+    u = s_br + m0 * rc.n_br                                      # < 2^27
     u = _modred(u, pBr, invBr)
     t_br = _chan_mul(u, rc.pinv_br, pBr, invBr)                  # [K+1, B]
     t_b, t_r = t_br[:K], t_br[K:]
 
     # extension 2 (B -> A, exact via Shenoy with the r channel)
     tau = _chan_mul(t_b, rc.qdivinv, rc.p[K:2 * K], rc.inv_p[K:2 * K])
-    s2 = jax.lax.dot_general(rc.w2, tau, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.int32)   # [K+1, B]
-    s2_a, s2_r = s2[:K], s2[K:]
     mr_mask = (1 << rc.mr_shift) - 1
+    if rc.use_split:
+        s2_red, s2_low = _ext_dot_split(tau, rc.w2t_cat, rc.kp,
+                                        rc.p_ar, rc.inv_ar, rc.t14_a)
+        s2_a, s2_r = s2_red[:K], s2_low[K:]
+    else:
+        s2 = jax.lax.dot_general(rc.w2, tau, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        s2_a, s2_r = s2[:K], s2[K:]                              # [K+1, B]
     beta = jnp.bitwise_and(
         jnp.bitwise_and(s2_r - t_r, mr_mask) * rc.qinv_r, mr_mask)  # [1, B]
     t_a = _modred(s2_a - beta * rc.qmod_ar[:K] + rc.comp_a, pA, invA)
