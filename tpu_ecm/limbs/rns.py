@@ -84,6 +84,7 @@ class RnsCtx:
     w1: jax.Array         # [K, K+1] |P/p_i|_{q_j / m_r}
     n_br: jax.Array       # [K+1, 1] |N|_{q_j / m_r}
     pinv_br: jax.Array    # [K+1, 1] |P^-1|_{q_j / m_r}
+    npinv_br: jax.Array   # [K+1, 1] |N * P^-1|_{q_j / m_r} (fused step 4+5)
     qdivinv: jax.Array    # [K, 1]  |(Q/q_j)^-1|_{q_j}
     w2: jax.Array         # [K, K+1] |Q/q_j|_{p_i / m_r}
     qinv_r: jax.Array     # [1, 1]  |Q^-1|_{m_r}
@@ -200,6 +201,8 @@ def make_rns(ctx: MontyCtx, cw: int = 12) -> RnsHost:
     n_br = np.asarray([[n % q] for q in rows_br], dtype=np.int32)
     pinv_br = np.asarray([[pow(P % q, -1, q)] for q in rows_br],
                          dtype=np.int32)
+    npinv_br = np.asarray([[n * pow(P % q, -1, q) % q] for q in rows_br],
+                          dtype=np.int32)
     qdivinv = np.zeros((K, 1), dtype=np.int32)
     w2 = np.zeros((K, K + 1), dtype=np.int32)
     rows_ar = pa + [mr]
@@ -242,6 +245,7 @@ def make_rns(ctx: MontyCtx, cw: int = 12) -> RnsHost:
         p=jnp.asarray(allp), inv_p=jnp.asarray(inv_p),
         c1=jnp.asarray(c1), w1=jnp.asarray(w1),
         n_br=jnp.asarray(n_br), pinv_br=jnp.asarray(pinv_br),
+        npinv_br=jnp.asarray(npinv_br),
         qdivinv=jnp.asarray(qdivinv), w2=jnp.asarray(w2),
         qinv_r=jnp.asarray(qinv_r), qmod_ar=jnp.asarray(qmod_ar),
         comp_a=jnp.asarray(comp_a), f_sub=jnp.asarray(f_sub),
@@ -275,7 +279,7 @@ def _chan_mul(x, y, p, inv_p):
     return _modred(x * y, p, inv_p)
 
 
-def _ext_dot_split(x, wt_cat, kp, p, inv_p, t14):
+def _ext_dot_split(x, wt_cat, kp, p, inv_p, t14, want_low14=True):
     """Exact base-extension dot w.T @ x ([K+1,K] @ [K,B]) via 7-bit digit
     decomposition: ONE [2*kp, K] @ [K, 2B] bf16 matmul with f32
     accumulation (every operand < 2^9 and every partial sum
@@ -302,6 +306,8 @@ def _ext_dot_split(x, wt_cat, kp, p, inv_p, t14):
     r_m = _modred(i_m, p, inv_p)
     r_hh = _modred(i_hh, p, inv_p)
     red = _modred(i_ll + jnp.left_shift(r_m, 7) + t14 * r_hh, p, inv_p)
+    if not want_low14:
+        return red, None
     m14 = (1 << 14) - 1
     low14 = jnp.bitwise_and(
         jnp.bitwise_and(i_ll, m14)
@@ -323,15 +329,15 @@ def mont_mul(x: jax.Array, y: jax.Array, rc: RnsCtx) -> jax.Array:
     # extension 1 (A -> B, r): M0 = sigma^T @ W1  (shared matrix -> MXU)
     if rc.use_split:
         m0, _ = _ext_dot_split(sigma, rc.w1t_cat, rc.kp, pBr, invBr,
-                               rc.t14)
+                               rc.t14, want_low14=False)
     else:
         m0 = jax.lax.dot_general(rc.w1, sigma, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.int32)
         m0 = _modred(m0, pBr, invBr)                             # [K+1, B]
 
-    u = s_br + m0 * rc.n_br                                      # < 2^27
-    u = _modred(u, pBr, invBr)
-    t_br = _chan_mul(u, rc.pinv_br, pBr, invBr)                  # [K+1, B]
+    # fused t = (s + M0*N) * P^-1: one pass via the precomputed N*P^-1
+    # residues (both products < 2^26, sum < 2^27 — one Barrett)
+    t_br = _modred(s_br * rc.pinv_br + m0 * rc.npinv_br, pBr, invBr)
     t_b, t_r = t_br[:K], t_br[K:]
 
     # extension 2 (B -> A, exact via Shenoy with the r channel)
