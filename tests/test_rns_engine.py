@@ -122,6 +122,41 @@ def test_rns_engine_matches_digit_engine(tmp_path):
     assert r1.stage1_residues == r2.stage1_residues
 
 
+def test_rns_engine_pallas_stage2(tmp_path):
+    """engine='rns' with the Pallas executors (interpret): the RNS stage-2
+    kernels (chain/prefix/apply-inverse/replay) must reproduce the jnp
+    fallback's factor finds exactly."""
+    P35, P36 = 34359738421, 68719476767
+    cfg = _cfg(tmp_path, n=P35 * P36, curves=128, b1=300, b2=10000,
+               sigma=110, engine="rns", use_pallas=True,
+               pallas_interpret=True, batch=128, stop_on_factor=False)
+    res = driver.ECMDriver(cfg).run()
+    got = {(h.factor, h.stage, h.sigma) for h in res.factors}
+    cfg2 = _cfg(tmp_path, n=P35 * P36, curves=128, b1=300, b2=10000,
+                sigma=110, engine="rns", use_pallas=False, batch=128,
+                stop_on_factor=False)
+    res2 = driver.ECMDriver(cfg2).run()
+    assert got == {(h.factor, h.stage, h.sigma) for h in res2.factors}
+    assert (P35, 2, 112) in got
+
+
+def test_rns_engine_1536bit_stage2_find(tmp_path):
+    """Large-moduli end-to-end: a 1535-bit input (P35 x P1500) on the RNS
+    engine — stage-1 AND stage-2 arithmetic run the split/MXU formulation —
+    must surface the P35 at the same pinned sigma as the small case (the
+    curve order mod P35 does not depend on the cofactor)."""
+    rng = random.Random(5)
+    P35 = 34359738421
+    n = P35 * _prp(rng, 1500)
+    cfg = _cfg(tmp_path, n=n, curves=4, b1=300, b2=10000, sigma=110,
+               engine="rns", stop_on_factor=False)
+    d = driver.ECMDriver(cfg)
+    assert d._rns_host.dev.use_split
+    res = d.run()
+    assert any(h.factor % P35 == 0 and h.stage == 2 and h.sigma == 112
+               for h in res.factors), res.factors
+
+
 def test_engine_auto_dispatch(tmp_path):
     rng = random.Random(3)
     big = _prp(rng, 768) * _prp(rng, 768)

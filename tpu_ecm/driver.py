@@ -385,13 +385,13 @@ class ECMDriver:
         self._write_save(cfg.save_b1_path, sigmas, xs, zs, cfg.b1)
         residues = [(s, x, z) for s, x, z in zip(sigmas, xs, zs)]
 
-        # digit-plane handoff for stage 2
+        # stage 2 stays on RNS planes end-to-end (the Stage2Runner
+        # orchestration is engine-generic via the RnsOps adapter)
         if self.do_stage2:
-            st2 = _stage1.init_state(
-                ctx, [ctx.to_mont_int(x) for x in xs],
-                [ctx.to_mont_int(z) for z in zs],
-                [c.s_mont for c in curves], sharder=cfg.sharder)
-            self._run_stage2(st2.pts[0], st2.s_const, sigmas, base_idx)
+            s2ops = rns_exec.RnsOps(h, sharder=cfg.sharder,
+                                    interpret=cfg.pallas_interpret)
+            self._run_stage2(state.pts[0], state.s_const, sigmas, base_idx,
+                             ops=s2ops)
         return residues
 
     def _ed_runner(self, batch: int, table_pts: int):
@@ -574,7 +574,8 @@ class ECMDriver:
         self._run_stage2(state.pts[0], state.s_const, sigmas, base_idx)
         return residues
 
-    def _run_stage2(self, pts0, s_const, sigmas: List[int], base_idx: int):
+    def _run_stage2(self, pts0, s_const, sigmas: List[int], base_idx: int,
+                    ops=None):
         cfg, ctx = self.cfg, self.ctx
         if self.do_stage2:
             t0 = time.time()
@@ -585,7 +586,8 @@ class ECMDriver:
                                          use_pallas=self.use_pallas,
                                          executor_cache=self._s2_executors,
                                          sharder=cfg.sharder,
-                                         interpret=cfg.pallas_interpret)
+                                         interpret=cfg.pallas_interpret,
+                                         ops=ops)
             runner.init()
             self.timings["stage2_init"] = (self.timings.get("stage2_init", 0)
                                            + time.time() - t0)

@@ -127,6 +127,69 @@ def extract_point(host: rns.RnsHost, pts, slot: int = 0
 
 
 # ---------------------------------------------------------------------------
+# stage-2 jnp pieces (rns twins of stage2/exec.py's digit helpers)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _jit_xdbl(x, z, s_const, rc: rns.RnsCtx):
+    return xdbl(x, z, s_const, rc)
+
+
+@jax.jit
+def z_prefix(zs, one_plane, rc: rns.RnsCtx):
+    def step(acc, z):
+        acc = rns.mont_mul(acc, z, rc)
+        return acc, acc
+
+    _, prods = jax.lax.scan(step, one_plane, zs)
+    return prods
+
+
+@jax.jit
+def apply_inverse(xs, zs, prefix, total_inv, one_plane, rc: rns.RnsCtx):
+    k = zs.shape[0]
+    pres = jnp.concatenate([one_plane[None], prefix[:k - 1]], axis=0)
+
+    def step(suffix, operands):
+        z_i, pre = operands
+        inv_i = rns.mont_mul(suffix, pre, rc)
+        suffix = rns.mont_mul(suffix, z_i, rc)
+        return suffix, inv_i
+
+    _, invs = jax.lax.scan(step, total_inv, (zs[::-1], pres[::-1]))
+    invs = invs[::-1]
+    return jax.vmap(lambda x, z: rns.mont_mul(x, z, rc))(xs, invs)
+
+
+@jax.jit
+def pa_extend(carry_pts, pd, count_arr, rc: rns.RnsCtx):
+    def step(carry, _):
+        p1, p2 = carry
+        xo, zo = xadd(p1, pd, p2, rc)
+        pout = jnp.stack([xo, zo])
+        return (pout, p1), pout
+
+    _, pts = jax.lax.scan(step, carry_pts, count_arr)
+    return pts
+
+
+@jax.jit
+def replay_segment(acc, pa_inv_ext, pbx, idx, rc: rns.RnsCtx):
+    """acc *= prod (Pa_inv[v] - PbX[u]); the F-lifted rns.sub keeps every
+    difference nonnegative and <= 2V, a legal product input."""
+    pa_rows = jnp.take(pa_inv_ext, idx[:, 0], axis=0)
+    pb_rows = jnp.take(pbx, idx[:, 1], axis=0)
+    vals = jax.vmap(lambda a, b: rns.sub(a, b, rc))(pa_rows, pb_rows)
+    vm = jax.vmap(lambda a, b: rns.mont_mul(a, b, rc))
+    t = vals.shape[0]
+    while t > 1:
+        half = t // 2
+        vals = vm(vals[:half], vals[half:t])
+        t = half
+    return rns.mont_mul(acc, vals[0], rc)
+
+
+# ---------------------------------------------------------------------------
 # Pallas tape executor
 # ---------------------------------------------------------------------------
 
@@ -167,6 +230,262 @@ def _rns_tape_kernel(treedef, statics, tape_ref, *refs):
         return 0
 
     jax.lax.fori_loop(0, nsteps, step, 0)
+
+
+def _ctx_io(host: rns.RnsHost):
+    """(leaves, rebuild): the RnsCtx constant tables as explicit kernel
+    inputs + the kernel-side re-assembly (see _rns_tape_kernel)."""
+    leaves, treedef = jax.tree_util.tree_flatten(host.dev)
+    leaves = [jnp.asarray(l) for l in leaves]
+
+    def rebuild(refs):
+        return jax.tree_util.tree_unflatten(treedef, [r[...] for r in refs])
+
+    return leaves, rebuild
+
+
+def _leaf_specs(leaves, nidx):
+    """Full-array VMEM BlockSpecs for the constant tables (index maps
+    ignore the grid position; nidx = arity of the index-map signature)."""
+    def spec(leaf):
+        zero = (0,) * leaf.ndim
+        return pl.BlockSpec(leaf.shape, lambda *_: zero)
+
+    del nidx
+    return [spec(l) for l in leaves]
+
+
+def _params(interpret):
+    return None if interpret else pltpu.CompilerParams(
+        vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def make_rns_chain_executor(host: rns.RnsHost, batch: int, count: int,
+                            interpret: bool = False, sharder=None):
+    """Differential-add chain out[i] = out[i-1] + Pd (diff out[i-2]) — the
+    RNS twin of pallas_ops.make_chain_executor.
+    run(p1 [2,rows,B], p2 [2,rows,B], pd [2,rows,B]) -> [count,2,rows,B]."""
+    rows = host.dev.rows
+    loc = _local_batch(batch, sharder)
+    leaves, rebuild = _ctx_io(host)
+    nl = len(leaves)
+
+    def kernel(*refs):
+        rc = rebuild(refs[:nl])
+        p1_in, p2_in, pd = refs[nl], refs[nl + 1], refs[nl + 2]
+        out, s1, s2 = refs[nl + 3], refs[-2], refs[-1]
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            s1[...] = p1_in[...]
+            s2[...] = p2_in[...]
+
+        xo, zo = xadd(s1[...], pd[...], s2[...], rc)
+        new = jnp.stack([xo, zo])
+        out[0] = new
+        s2[...] = s1[...]
+        s1[...] = new
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(count,),
+        in_specs=_leaf_specs(leaves, 1) + [
+            pl.BlockSpec((2, rows, loc), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, rows, loc), lambda i: (0, 0, 0)),
+            pl.BlockSpec((2, rows, loc), lambda i: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2, rows, loc), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((count, 2, rows, loc), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((2, rows, loc), jnp.int32),
+                        pltpu.VMEM((2, rows, loc), jnp.int32)],
+        interpret=interpret,
+        compiler_params=_params(interpret),
+    )
+
+    def body(p1, p2, pd, *leaf_args):
+        return call(*leaf_args, p1, p2, pd)
+
+    ax = sharder.axis_name if sharder is not None else None
+    run = _jit_maybe_sharded(
+        body, sharder,
+        in_specs=(P(None, None, ax),) * 3 + (P(),) * nl,
+        out_specs=P(None, None, None, ax))
+    return lambda p1, p2, pd: run(p1, p2, pd, *leaves)
+
+
+def make_rns_prefix_executor(host: rns.RnsHost, batch: int, count: int,
+                             interpret: bool = False, sharder=None):
+    """run(zs [count,rows,B], one [rows,B]) -> prefix products."""
+    rows = host.dev.rows
+    loc = _local_batch(batch, sharder)
+    leaves, rebuild = _ctx_io(host)
+    nl = len(leaves)
+
+    def kernel(*refs):
+        rc = rebuild(refs[:nl])
+        z_row, one_in, out, acc = (refs[nl], refs[nl + 1], refs[nl + 2],
+                                   refs[-1])
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            acc[...] = one_in[...]
+
+        acc[...] = rns.mont_mul(acc[...], z_row[0], rc)
+        out[0] = acc[...]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(count,),
+        in_specs=_leaf_specs(leaves, 1) + [
+            pl.BlockSpec((1, rows, loc), lambda i: (i, 0, 0)),
+            pl.BlockSpec((rows, loc), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, rows, loc), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((count, rows, loc), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((rows, loc), jnp.int32)],
+        interpret=interpret,
+        compiler_params=_params(interpret),
+    )
+
+    def body(zs, one, *leaf_args):
+        return call(*leaf_args, zs, one)
+
+    ax = sharder.axis_name if sharder is not None else None
+    run = _jit_maybe_sharded(
+        body, sharder,
+        in_specs=(P(None, None, ax), P(None, ax)) + (P(),) * nl,
+        out_specs=P(None, None, ax))
+    return lambda zs, one: run(zs, one, *leaves)
+
+
+def make_rns_apply_inverse_executor(host: rns.RnsHost, batch: int,
+                                    count: int, interpret: bool = False,
+                                    sharder=None):
+    """run(xs, zs, pres, total_inv) -> x_i * z_i^-1 (suffix walk-back)."""
+    rows = host.dev.rows
+    loc = _local_batch(batch, sharder)
+    leaves, rebuild = _ctx_io(host)
+    nl = len(leaves)
+
+    def kernel(*refs):
+        rc = rebuild(refs[:nl])
+        x_row, z_row, pre_row, tinv_in = (refs[nl], refs[nl + 1],
+                                          refs[nl + 2], refs[nl + 3])
+        out, suf = refs[nl + 4], refs[-1]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            suf[...] = tinv_in[...]
+
+        inv_i = rns.mont_mul(suf[...], pre_row[0], rc)
+        out[0] = rns.mont_mul(x_row[0], inv_i, rc)
+        suf[...] = rns.mont_mul(suf[...], z_row[0], rc)
+
+    rev = lambda i: (count - 1 - i, 0, 0)
+    call = pl.pallas_call(
+        kernel,
+        grid=(count,),
+        in_specs=_leaf_specs(leaves, 1) + [
+            pl.BlockSpec((1, rows, loc), rev),
+            pl.BlockSpec((1, rows, loc), rev),
+            pl.BlockSpec((1, rows, loc), rev),
+            pl.BlockSpec((rows, loc), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, rows, loc), rev),
+        out_shape=jax.ShapeDtypeStruct((count, rows, loc), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((rows, loc), jnp.int32)],
+        interpret=interpret,
+        compiler_params=_params(interpret),
+    )
+
+    def body(xs, zs, pres, total_inv, *leaf_args):
+        return call(*leaf_args, xs, zs, pres, total_inv)
+
+    ax = sharder.axis_name if sharder is not None else None
+    run = _jit_maybe_sharded(
+        body, sharder,
+        in_specs=(P(None, None, ax),) * 3 + (P(None, ax),) + (P(),) * nl,
+        out_specs=P(None, None, ax))
+    return lambda xs, zs, pres, tinv: run(xs, zs, pres, tinv, *leaves)
+
+
+def make_rns_replay_executor(host: rns.RnsHost, batch: int, pa_rows: int,
+                             pb_rows: int, t_block: int = 2048,
+                             entries_per_step: int = 4,
+                             interpret: bool = False, sharder=None):
+    """Pairmap replay acc *= (Pa_inv[v] - PbX[u]) — RNS twin of
+    pallas_ops.make_replay_executor (same scalar-prefetched gather
+    pipeline; the difference runs through the F-lifted rns.sub)."""
+    rows = host.dev.rows
+    assert t_block % entries_per_step == 0
+    loc = _local_batch(batch, sharder)
+    E = entries_per_step
+    nsteps = t_block // E
+    leaves, rebuild = _ctx_io(host)
+    nl = len(leaves)
+
+    def kernel(idx_ref, *refs):
+        rc = rebuild(refs[:nl])
+        rows_ = refs[nl:nl + 2 * E]
+        acc_in, acc_out, acc_scr = refs[nl + 2 * E], refs[nl + 2 * E + 1], \
+            refs[-1]
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_scr[...] = acc_in[...]
+
+        diffs = [rns.sub(rows_[2 * k][0], rows_[2 * k + 1][0], rc)
+                 for k in range(E)]
+        while len(diffs) > 1:
+            diffs = ([rns.mont_mul(diffs[j], diffs[j + 1], rc)
+                      for j in range(0, len(diffs) - 1, 2)]
+                     + ([diffs[-1]] if len(diffs) % 2 else []))
+        acc_scr[...] = rns.mont_mul(acc_scr[...], diffs[0], rc)
+
+        @pl.when(i == nsteps - 1)
+        def _():
+            acc_out[...] = acc_scr[...]
+
+    gather_specs = []
+    for k in range(E):
+        gather_specs.append(pl.BlockSpec(
+            (1, rows, loc),
+            lambda i, idx, k=k: (idx[2 * (E * i + k)], 0, 0)))
+        gather_specs.append(pl.BlockSpec(
+            (1, rows, loc),
+            lambda i, idx, k=k: (idx[2 * (E * i + k) + 1], 0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsteps,),
+        in_specs=_leaf_specs(leaves, 2) + gather_specs + [
+            pl.BlockSpec((rows, loc), lambda i, idx: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((rows, loc), lambda i, idx: (0, 0)),
+        scratch_shapes=[pltpu.VMEM((rows, loc), jnp.int32)],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, loc), jnp.int32),
+        interpret=interpret,
+        compiler_params=_params(interpret),
+    )
+
+    def body(acc, pa_ext, pbx, idx, *leaf_args):
+        gathers = [pa_ext, pbx] * E
+        return call(idx.reshape(2 * t_block), *leaf_args, *gathers, acc)
+
+    ax = sharder.axis_name if sharder is not None else None
+    run = _jit_maybe_sharded(
+        body, sharder,
+        in_specs=(P(None, ax), P(None, None, ax), P(None, None, ax),
+                  P(None, None)) + (P(),) * nl,
+        out_specs=P(None, ax))
+    return lambda acc, pa_ext, pbx, idx: run(acc, pa_ext, pbx, idx, *leaves)
 
 
 def make_rns_tape_executor(host: rns.RnsHost, batch: int, chunk: int = 4096,
@@ -235,3 +554,84 @@ def make_rns_tape_executor(host: rns.RnsHost, batch: int, chunk: int = 4096,
         return pts4
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# Stage2Runner engine adapter (stage2/exec.DigitOps's RNS twin)
+# ---------------------------------------------------------------------------
+
+class RnsOps:
+    """Representation-specific operations for stage2/exec.Stage2Runner on
+    RNS residue planes: the orchestration (group streaming, masking,
+    batch-inversion protocol, pairmap replay) is shared with the digit
+    engine, so fixed sigma yields identical factor finds on either."""
+
+    num_slots = NUM_SLOTS
+
+    def __init__(self, host: rns.RnsHost, sharder=None,
+                 interpret: bool = False):
+        self.host = host
+        self.ctx = host.ctx
+        self.rc = host.dev
+        self.sharder = sharder
+        self.interpret = interpret
+        # mont_mul(X, P^2 * v^-1) = (x/v) * P — the RNS-Montgomery analog
+        # of the digit engine's R^2 premultiplier
+        self.inv_premul = host.P * host.P
+
+    # host packing --------------------------------------------------------
+    def one_plane_np(self, b: int) -> np.ndarray:
+        return self.host.pack([self.host.to_mont_int(1)] * b)
+
+    def pack(self, ints):
+        return self.host.pack(ints)
+
+    def unpack(self, plane):
+        return self.host.unpack(np.asarray(plane))
+
+    def from_mont_int(self, v: int) -> int:
+        return self.host.from_mont_int(v % self.ctx.n_int)
+
+    # jitted jnp ops ------------------------------------------------------
+    def xdbl(self, x, z, s_const):
+        return _jit_xdbl(x, z, s_const, self.rc)
+
+    def jit_run_tape(self):
+        f = jax.jit(run_tape)
+        return lambda pts, tape, s: f(pts, jnp.asarray(tape), s, self.rc)
+
+    def z_prefix(self, zs, one_plane):
+        return z_prefix(zs, one_plane, self.rc)
+
+    def apply_inverse(self, xs, zs, prefix, total_inv, one_plane):
+        return apply_inverse(xs, zs, prefix, total_inv, one_plane, self.rc)
+
+    def pa_extend(self, carry_pts, pd, s_const, count_arr):
+        del s_const  # the 6-mul xadd needs no curve constant
+        return pa_extend(carry_pts, pd, count_arr, self.rc)
+
+    def replay_segment(self, acc, pa_inv_ext, pbx, idx):
+        return replay_segment(acc, pa_inv_ext, pbx, idx, self.rc)
+
+    # pallas executor factories ------------------------------------------
+    def make_chain(self, b, count):
+        return make_rns_chain_executor(self.host, b, count,
+                                       sharder=self.sharder,
+                                       interpret=self.interpret)
+
+    def make_prefix(self, b, count):
+        return make_rns_prefix_executor(self.host, b, count,
+                                        sharder=self.sharder,
+                                        interpret=self.interpret)
+
+    def make_apply(self, b, count):
+        return make_rns_apply_inverse_executor(self.host, b, count,
+                                               sharder=self.sharder,
+                                               interpret=self.interpret)
+
+    def make_replay(self, b, pa_rows, pb_rows, t_block, entries_per_step):
+        return make_rns_replay_executor(self.host, b, pa_rows=pa_rows,
+                                        pb_rows=pb_rows, t_block=t_block,
+                                        entries_per_step=entries_per_step,
+                                        sharder=self.sharder,
+                                        interpret=self.interpret)

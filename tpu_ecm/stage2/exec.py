@@ -49,16 +49,21 @@ from .plan import Stage2Params
 # host batch inversion (one modular inverse for the whole curve batch)
 # ---------------------------------------------------------------------------
 
-def host_batch_inverse(ctx: MontyCtx, vals_mont: List[int]
+def host_batch_inverse(ctx: MontyCtx, vals_mont: List[int],
+                       premul: Optional[int] = None
                        ) -> Tuple[List[int], Dict[int, int]]:
     """Invert Montgomery-domain values sharing modulus N with one modinv.
 
     Input: canonical ints v_i = z_i * R mod N.  Output: device-pushable
     V_i = R^2 * v_i^-1 mod N (so mont_mul(X_m, V_i) = (x/z)*R mod N), plus
     {curve_index: factor} for curves with gcd(v_i, N) > 1 (factor == 0 when
-    the gcd is trivial N itself); those curves get V_i = 0."""
+    the gcd is trivial N itself); those curves get V_i = 0.  `premul`
+    overrides the R^2 factor (the RNS engine passes P^2)."""
     n = ctx.n_int
-    r2 = (ctx.p.R * ctx.p.R) % n if not ctx.is_mersenne else 1
+    if premul is not None:
+        r2 = premul % n
+    else:
+        r2 = (ctx.p.R * ctx.p.R) % n if not ctx.is_mersenne else 1
     b = len(vals_mont)
     factors: Dict[int, int] = {}
     vals = [v % n for v in vals_mont]
@@ -166,18 +171,19 @@ def _replay_segment(acc, pa_inv_ext, pbx, idx, dctx: DeviceCtx):
     return jnp_ops.mulmod(acc, vals[0], dctx)
 
 
-def _run_ladder(pt, s_const, k: int, dctx: DeviceCtx, run_tape,
+def _run_ladder(pt, s_const, k: int, run_tape, num_slots: int,
                 sharder=None):
     """[k]P via a host-planned binary-ladder tape (next_pt_vec analog).
     Tapes are NOP-padded to 64-step multiples so varying k re-uses a handful
-    of compiled scan lengths instead of one per distinct k."""
+    of compiled scan lengths instead of one per distinct k.  `run_tape` is
+    the engine's 3-arg executor (pts, tape, s_const)."""
     tape, res_slot = prac.ladder_tape_result_slot(k)
-    nw, b = pt.shape[1], pt.shape[2]
-    pts = _zeros((curve_ops.NUM_SLOTS, 2, nw, b), sharder)
+    rows, b = pt.shape[1], pt.shape[2]
+    pts = _zeros((num_slots, 2, rows, b), sharder)
     pts = pts.at[0].set(pt)
     if tape.shape[0]:
         tape = prac.pad_tape(tape, 64)
-        pts = run_tape(pts, jnp.asarray(tape), s_const, dctx)
+        pts = run_tape(pts, jnp.asarray(tape), s_const)
     return jnp.take(pts, res_slot, axis=0)
 
 
@@ -188,6 +194,90 @@ def _zeros(shape, sharder=None):
     if sharder is None:
         return jnp.zeros(shape, dtype=jnp.int32)
     return sharder.device_put(np.zeros(shape, dtype=np.int32))
+
+
+# ---------------------------------------------------------------------------
+# engine adapter: everything representation-specific behind one object
+# ---------------------------------------------------------------------------
+
+class DigitOps:
+    """Digit-plane engine operations for Stage2Runner (the default).  The
+    RNS twin is limbs/rns_exec.RnsOps; the runner's orchestration (group
+    streaming, masking, batch-inversion protocol, replay) is engine-
+    independent — fixed sigma must give identical factor finds on any
+    engine (the golden-sweep invariant)."""
+
+    num_slots = curve_ops.NUM_SLOTS
+
+    def __init__(self, ctx: MontyCtx, dctx: DeviceCtx, sharder=None,
+                 interpret: bool = False):
+        self.ctx, self.dctx = ctx, dctx
+        self.sharder = sharder
+        self.interpret = interpret
+        # modinv premultiplier override for host_batch_inverse (None: its
+        # default R^2 / Mersenne-1 logic; the RNS engine passes P^2)
+        self.inv_premul = None
+
+    # host packing --------------------------------------------------------
+    def one_plane_np(self, b: int) -> np.ndarray:
+        return layout.broadcast_int(self.ctx.r_mod_n, self.ctx.p.w,
+                                    self.ctx.p.nw, b)
+
+    def pack(self, ints: List[int]) -> np.ndarray:
+        return layout.pack_batch(ints, self.ctx.p.w, self.ctx.p.nw)
+
+    def unpack(self, plane) -> List[int]:
+        return layout.unpack_batch(np.asarray(plane), self.ctx.p.w)
+
+    def from_mont_int(self, v: int) -> int:
+        return self.ctx.from_mont_int(v % self.ctx.n_int)
+
+    # jitted jnp ops ------------------------------------------------------
+    def xdbl(self, x, z, s_const):
+        return _jit_xdbl(x, z, s_const, self.dctx)
+
+    def jit_run_tape(self):
+        f = jax.jit(curve_ops.run_tape)
+        return lambda pts, tape, s: f(pts, tape, s, self.dctx)
+
+    def z_prefix(self, zs, one_plane):
+        return _z_prefix(zs, one_plane, self.dctx)
+
+    def apply_inverse(self, xs, zs, prefix, total_inv, one_plane):
+        return _apply_inverse(xs, zs, prefix, total_inv, one_plane,
+                              self.dctx)
+
+    def pa_extend(self, carry_pts, pd, s_const, count_arr):
+        return _pa_extend(carry_pts, pd, s_const, count_arr, self.dctx)
+
+    def replay_segment(self, acc, pa_inv_ext, pbx, idx):
+        return _replay_segment(acc, pa_inv_ext, pbx, idx, self.dctx)
+
+    # pallas executor factories ------------------------------------------
+    def make_chain(self, b, count):
+        from ..limbs import pallas_ops
+        return pallas_ops.make_chain_executor(
+            self.ctx, b, count, sharder=self.sharder,
+            interpret=self.interpret)
+
+    def make_prefix(self, b, count):
+        from ..limbs import pallas_ops
+        return pallas_ops.make_prefix_executor(
+            self.ctx, b, count, sharder=self.sharder,
+            interpret=self.interpret)
+
+    def make_apply(self, b, count):
+        from ..limbs import pallas_ops
+        return pallas_ops.make_apply_inverse_executor(
+            self.ctx, b, count, sharder=self.sharder,
+            interpret=self.interpret)
+
+    def make_replay(self, b, pa_rows, pb_rows, t_block, entries_per_step):
+        from ..limbs import pallas_ops
+        return pallas_ops.make_replay_executor(
+            self.ctx, b, pa_rows=pa_rows, pb_rows=pb_rows, t_block=t_block,
+            entries_per_step=entries_per_step, sharder=self.sharder,
+            interpret=self.interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -211,9 +301,11 @@ class Stage2Runner:
                  pt, s_const, b1: int, verbose: bool = False,
                  use_pallas: bool = False,
                  executor_cache: Optional[Dict] = None,
-                 sharder=None, interpret: bool = False):
+                 sharder=None, interpret: bool = False, ops=None):
         self.ctx, self.dctx, self.sp = ctx, dctx, sp
-        self.pt = pt                  # stage-1 point [2, NW, B]
+        self.ops = ops if ops is not None else DigitOps(
+            ctx, dctx, sharder=sharder, interpret=interpret)
+        self.pt = pt                  # stage-1 point [2, planes, B]
         self.s_const = s_const
         self.b1 = b1
         self.verbose = verbose
@@ -224,8 +316,10 @@ class Stage2Runner:
         b_local = b // sharder.n if sharder is not None else b
         self.use_pallas = use_pallas and b_local % 128 == 0
         # compiled-executor cache, shareable across runners (the driver makes
-        # one runner per curve batch; executors depend only on (kind, size))
+        # one runner per curve batch; executors depend only on (kind, size));
+        # keys carry the engine so digit/RNS runners never collide
         self._cache = executor_cache if executor_cache is not None else {}
+        self._ek = type(self.ops).__name__
         # bigger Pa groups / replay blocks on TPU (fewer host syncs and
         # kernel launches); modest on the jnp fallback so CPU tests stay
         # fast; tiny in interpret mode (grid steps execute one by one)
@@ -235,7 +329,7 @@ class Stage2Runner:
             self.pa_group, self.replay_block = 4096, 16384
         else:
             self.pa_group, self.replay_block = 512, 4096
-        one = layout.broadcast_int(ctx.r_mod_n, ctx.p.w, ctx.p.nw, b)
+        one = self.ops.one_plane_np(b)
         self.one_plane = (sharder.device_put(one) if sharder is not None
                           else jnp.asarray(one))
         self.acc = self.one_plane     # mdata->one init (/root/reference/ecm.c:2318)
@@ -244,9 +338,9 @@ class Stage2Runner:
         self.ptadds = 0
         self.ptdups = 0               # point-doubles (ecm_work->ptdups)
         self.numinv = 0
-        if ("run_tape",) not in self._cache:
-            self._cache[("run_tape",)] = jax.jit(curve_ops.run_tape)
-        self.run_tape = self._cache[("run_tape",)]
+        if (self._ek, "run_tape") not in self._cache:
+            self._cache[(self._ek, "run_tape")] = self.ops.jit_run_tape()
+        self.run_tape = self._cache[(self._ek, "run_tape")]
         self.pbx: Optional[jax.Array] = None
         self.pd = None
         self.pa = None                # [2L, 2, NW, B]
@@ -263,8 +357,8 @@ class Stage2Runner:
 
     def _ladder(self, pt, k: int):
         self._count_tape(prac.ladder_tape_result_slot(k)[0])
-        return _run_ladder(pt, self.s_const, k, self.dctx, self.run_tape,
-                           sharder=self.sharder)
+        return _run_ladder(pt, self.s_const, k, self.run_tape,
+                           self.ops.num_slots, sharder=self.sharder)
 
     # -- inversion helper ---------------------------------------------------
 
@@ -274,31 +368,28 @@ class Stage2Runner:
         self.numinv += 1
         k = int(zs.shape[0])
         if self.use_pallas:
-            from ..limbs import pallas_ops
-            if ("prefix", k) not in self._cache:
-                self._cache[("prefix", k)] = pallas_ops.make_prefix_executor(
-                    self.ctx, self.b, k, sharder=self.sharder,
-                    interpret=self.interpret)
-                self._cache[("apply", k)] = \
-                    pallas_ops.make_apply_inverse_executor(
-                        self.ctx, self.b, k, sharder=self.sharder,
-                        interpret=self.interpret)
-            prefix = self._cache[("prefix", k)](zs, self.one_plane)
+            if (self._ek, "prefix", k) not in self._cache:
+                self._cache[(self._ek, "prefix", k)] = \
+                    self.ops.make_prefix(self.b, k)
+                self._cache[(self._ek, "apply", k)] = \
+                    self.ops.make_apply(self.b, k)
+            prefix = self._cache[(self._ek, "prefix", k)](zs, self.one_plane)
         else:
-            prefix = _z_prefix(zs, self.one_plane, self.dctx)
-        total = layout.unpack_batch(np.asarray(prefix[-1]), self.ctx.p.w)
-        inv_ints, fnd = host_batch_inverse(self.ctx, total)
+            prefix = self.ops.z_prefix(zs, self.one_plane)
+        total = self.ops.unpack(prefix[-1])
+        inv_ints, fnd = host_batch_inverse(self.ctx, total,
+                                           premul=self.ops.inv_premul)
         for i, f in fnd.items():
             if f and i not in self.factors:
                 self.factors[i] = f
-        total_inv = jnp.asarray(layout.pack_batch(
-            inv_ints, self.ctx.p.w, self.ctx.p.nw))
+        total_inv = jnp.asarray(self.ops.pack(inv_ints))
         if self.use_pallas:
             pres = jnp.concatenate([self.one_plane[None], prefix[:-1]],
                                    axis=0)
-            return self._cache[("apply", k)](xs, zs, pres, total_inv)
-        return _apply_inverse(xs, zs, prefix, total_inv, self.one_plane,
-                              self.dctx)
+            return self._cache[(self._ek, "apply", k)](xs, zs, pres,
+                                                       total_inv)
+        return self.ops.apply_inverse(xs, zs, prefix, total_inv,
+                                      self.one_plane)
 
     def _invert_planes_grouped(self, xs, zs):
         """Grouped batch inversion for arbitrary-K stacks (bounds the scan
@@ -327,14 +418,12 @@ class Stage2Runner:
         if pd is None:
             pd = self.pd
         if self.use_pallas:
-            from ..limbs import pallas_ops
-            if ("chain", count) not in self._cache:
-                self._cache[("chain", count)] = pallas_ops.make_chain_executor(
-                    self.ctx, self.b, count, sharder=self.sharder,
-                    interpret=self.interpret)
-            return self._cache[("chain", count)](p1, p2, pd)
+            if (self._ek, "chain", count) not in self._cache:
+                self._cache[(self._ek, "chain", count)] = \
+                    self.ops.make_chain(self.b, count)
+            return self._cache[(self._ek, "chain", count)](p1, p2, pd)
         cnt = jnp.zeros((count,), dtype=jnp.int32)
-        return _pa_extend((p1, p2), pd, self.s_const, cnt, self.dctx)
+        return self.ops.pa_extend((p1, p2), pd, self.s_const, cnt)
 
     # -- phase 2: init ------------------------------------------------------
 
@@ -351,7 +440,7 @@ class Stage2Runner:
         # affine-x rows straight into pbx — the full [num_pb, 2, ...] table
         # never exists.
         q1 = self.pt
-        x2, z2 = _jit_xdbl(q1[0], q1[1], self.s_const, self.dctx)
+        x2, z2 = self.ops.xdbl(q1[0], q1[1], self.s_const)
         self.ptdups += 1
         q2 = jnp.stack([x2, z2])
         nw, b = q1.shape[1], q1.shape[2]
@@ -444,10 +533,9 @@ class Stage2Runner:
             self._count_tape(tape)
             tape = prac.pad_tape(tape, 64)
             nw_, b_ = self.pt.shape[1], self.pt.shape[2]
-            pts = _zeros((curve_ops.NUM_SLOTS, 2, nw_, b_),
+            pts = _zeros((self.ops.num_slots, 2, nw_, b_),
                          self.sharder).at[0].set(self.pd)
-            pts = self.run_tape(pts, jnp.asarray(tape), self.s_const,
-                                self.dctx)
+            pts = self.run_tape(pts, jnp.asarray(tape), self.s_const)
             p_prev, p_last = pts[lo], pts[hi]
         else:
             # amin0 <= 1: [2*amin0-2]Pd would be the point at infinity; seed
@@ -499,16 +587,14 @@ class Stage2Runner:
         """acc *= prod (Pa_inv[v] - PbX[u]) over the entry list."""
         G = self.pa_group
         if self.use_pallas:
-            key = ("replay", G + 1, int(self.pbx.shape[0]),
+            key = (self._ek, "replay", G + 1, int(self.pbx.shape[0]),
                    self.replay_block)
             if key not in self._cache:
-                from ..limbs import pallas_ops
-                self._cache[key] = pallas_ops.make_replay_executor(
-                    self.ctx, self.b, pa_rows=G + 1,
+                self._cache[key] = self.ops.make_replay(
+                    self.b, pa_rows=G + 1,
                     pb_rows=int(self.pbx.shape[0]),
                     t_block=self.replay_block,
-                    entries_per_step=8,  # 2.28 -> 2.13 us/entry vs E=4
-                    sharder=self.sharder, interpret=self.interpret)
+                    entries_per_step=8)  # 2.28 -> 2.13 us/entry vs E=4
             replay = self._cache[key]
             tb = self.replay_block
             for lo in range(0, idx.shape[0], tb):
@@ -531,15 +617,14 @@ class Stage2Runner:
                 pad = np.tile(np.array([[G, 0]], dtype=np.int32),
                               (tpad - tb, 1))
                 blk = np.concatenate([blk, pad], axis=0)
-            self.acc = _replay_segment(self.acc, pa_inv_ext,
-                                       self.pbx, jnp.asarray(blk),
-                                       self.dctx)
+            self.acc = self.ops.replay_segment(self.acc, pa_inv_ext,
+                                               self.pbx, jnp.asarray(blk))
 
     # -- harvest ------------------------------------------------------------
 
     def result(self) -> Stage2Result:
-        accs = layout.unpack_batch(np.asarray(self.acc), self.ctx.p.w)
-        accs = [self.ctx.from_mont_int(a % self.ctx.n_int) for a in accs]
+        accs = [self.ops.from_mont_int(a)
+                for a in self.ops.unpack(self.acc)]
         return Stage2Result(acc=accs, factors=dict(self.factors),
                             paired=self.paired, ptadds=self.ptadds,
                             ptdups=self.ptdups, numinv=self.numinv)
