@@ -1,20 +1,33 @@
-"""Headline benchmark: ECM stage-1 curves/sec/chip at B1=1e6 on a 416-bit
-input (the BASELINE.json metric).
+"""Headline benchmark: END-TO-END ECM curves/sec/chip at B1=1e6, B2=100*B1
+(the reference's default bound ratio, /root/reference/main.c:462) on a
+416-bit input.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+stage-1-only companion fields (the round-1 metric, kept for continuity).
 
-Baseline derivation (BASELINE.md): avx-ecm claims 2x GMP-ECM curves/sec
-(/root/reference/README.md:2); the shipped GMP-ECM oracle log gives 16.45 s
-for step 1 at B1=1e6 on a 508-bit C153 (/root/reference/test_inputs.txt:26-31).
-Scaling by schoolbook-mulmod area (416/508)^2 = 0.67 gives ~11.0 s/curve/core
-for GMP-ECM at 416 bits, so avx-ecm ~5.5 s/curve/core, i.e. ~11.6 curves/sec
-on the 64-core Skylake-X box named in BASELINE.json.  vs_baseline is
-curves/sec divided by that 11.6.
+Baselines (BASELINE.md / BENCH_NOTES.md):
+* Stage-1-only 11.6 curves/sec: avx-ecm claims 2x GMP-ECM
+  (/root/reference/README.md:2); the shipped GMP-ECM oracle log gives
+  16.45 s step 1 at B1=1e6 on a 508-bit C153
+  (/root/reference/test_inputs.txt:26-31); (416/508)^2 schoolbook-area
+  scaling -> ~5.5 s/curve/core -> 11.6 curves/sec on the 64-core
+  Skylake-X box named in BASELINE.json.
+* End-to-end 7.93 curves/sec: the reference binary measured on real
+  AVX-512 silicon in this container (BENCH_NOTES.md "Reference binary
+  measured locally") runs 0.79 curves/s/core stage-1-only and 0.54
+  end-to-end at B1=1e6/B2=1e8 — a 0.684 e2e/stage-1 throughput ratio.
+  11.6 x 0.684 = 7.93 curves/sec end-to-end for the same 64-core box.
 
-Method: run the real B1=1e6 stage-1 tape (PRAC-planned, ~2.2M ADD/DUP ops)
-through the Pallas tape executor for a timed slice and extrapolate linearly
-(the tape is uniform work).  Timing is synchronized by pulling the result
-back to the host (block_until_ready is not reliable over the axon tunnel).
+Method: stage 1 runs the real B1=1e6 tape (PRAC-planned, ~2.2M ADD/DUP
+ops) for a timed slice, best-of-N, extrapolated linearly (the tape is
+uniform work).  Stage 2 is NOT extrapolated: a full real B2=1e8
+continuation (init + pairing + replay + batch inversions) is executed
+and wall-timed in steady state (a warmup runner first populates the
+compiled-executor cache, because in production the driver shares
+executors across curve batches).  Timing is synchronized by pulling
+results back to the host (block_until_ready is not reliable over the
+axon tunnel).  BENCH_E2E=0 skips stage 2 and reports the stage-1-only
+metric (the CPU-smoke default).
 """
 
 import json
@@ -22,7 +35,8 @@ import os
 import sys
 import time
 
-BASELINE_CURVES_PER_SEC = 11.6  # avx-ecm on 64-core SKX, 416-bit, B1=1e6
+BASELINE_CURVES_PER_SEC = 11.6   # avx-ecm 64-core SKX, 416-bit, stage 1 only
+E2E_BASELINE_CURVES_PER_SEC = 7.93  # x0.684 measured e2e/stage-1 ratio
 
 
 def main():
@@ -42,7 +56,7 @@ def main():
     from tpu_ecm.limbs import jnp_ops, layout, pallas_ops
     from tpu_ecm.primes import primes_range
 
-    b1 = 1_000_000
+    b1 = int(os.environ.get("BENCH_B1", "1000000"))  # smoke override only
     batch = int(os.environ.get("BENCH_BATCH", "2048"))
     slice_len = int(os.environ.get("BENCH_SLICE", "65536"))
 
@@ -101,11 +115,56 @@ def main():
           f"tape={full_len} slice={slice_len} slice_time={dt:.3f}s "
           f"extrapolated_full={time_full:.1f}s plan_time={plan_t:.1f}s",
           file=sys.stderr)
+
+    do_e2e = os.environ.get("BENCH_E2E", "0" if on_cpu else "1") != "0"
+    if not do_e2e:
+        print(json.dumps({
+            "metric": "ecm_stage1_curves_per_sec_per_chip_416bit_B1_1e6",
+            "value": round(curves_per_sec, 3),
+            "unit": "curves/sec",
+            "vs_baseline": round(curves_per_sec / BASELINE_CURVES_PER_SEC, 3),
+        }))
+        return
+
+    # ---- stage 2, full and real (no extrapolation) ----------------------
+    from tpu_ecm.limbs import jnp_ops as _jops
+    from tpu_ecm.primes.sieve import PrimeStream
+    from tpu_ecm.stage2 import exec as s2exec, plan as s2plan
+
+    b2 = int(os.environ.get("BENCH_B2", str(100 * b1)))
+    dctx = _jops.device_ctx(ctx)
+    sp = s2plan.make_stage2_params(b1, b2)
+    stream = PrimeStream()
+    pts0 = out[0]                     # stage-1 point [2, NW, B] (values
+    s2_cache = {}                     # irrelevant: cost is data-oblivious)
+
+    def stage2_pass() -> float:
+        t0 = time.time()
+        runner = s2exec.Stage2Runner(ctx, dctx, sp, pts0, s_const, b1,
+                                     use_pallas=not on_cpu,
+                                     executor_cache=s2_cache)
+        runner.init()
+        for lo, hi, prs in stream.chunks(b1, b2):
+            map_v, map_u, amin0, _stats = s2plan.pair(sp, prs, lo,
+                                                      min(hi, b2))
+            runner.run_chunk(map_v, map_u, amin0)
+        runner.result()               # pulls acc to host: full sync
+        return time.time() - t0
+
+    warm = stage2_pass()              # compiles executors (shared cache)
+    s2_wall = stage2_pass()           # steady state: all executors cached
+    e2e = batch / (time_full + s2_wall)
+    print(f"# stage2 warmup={warm:.1f}s steady={s2_wall:.1f}s "
+          f"D={sp.D} U={sp.U} num_pb={sp.num_pb} "
+          f"e2e_time={time_full + s2_wall:.1f}s", file=sys.stderr)
     print(json.dumps({
-        "metric": "ecm_stage1_curves_per_sec_per_chip_416bit_B1_1e6",
-        "value": round(curves_per_sec, 3),
+        "metric": "ecm_curves_per_sec_per_chip_416bit_B1_1e6_B2_1e8_e2e",
+        "value": round(e2e, 3),
         "unit": "curves/sec",
-        "vs_baseline": round(curves_per_sec / BASELINE_CURVES_PER_SEC, 3),
+        "vs_baseline": round(e2e / E2E_BASELINE_CURVES_PER_SEC, 3),
+        "stage1_curves_per_sec": round(curves_per_sec, 3),
+        "stage1_vs_baseline": round(curves_per_sec
+                                    / BASELINE_CURVES_PER_SEC, 3),
     }))
 
 
