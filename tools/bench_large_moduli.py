@@ -4,7 +4,8 @@ Used to place BLOCKED_NW (flat-vs-blocked crossover) and driver.RNS_MIN_BITS
 (digit/VPU vs RNS/MXU crossover), and to track the large-moduli numbers
 quoted in BENCH_NOTES.md.  Run on the TPU:
 
-    PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_large_moduli.py [-rns|-both] [nbits ...]
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_large_moduli.py \
+        [-rns|-both] [-bw 4,8,16] [-force flat|blocked] [nbits ...]
 """
 
 import os
@@ -34,6 +35,16 @@ def main():
         if flag in args:
             args.remove(flag)
             mode = flag[1:]
+    bws = [pallas_ops.BLOCKED_BW]
+    if "-bw" in args:                 # e.g. -bw 4,8,16
+        i = args.index("-bw")
+        bws = [int(x) for x in args[i + 1].split(",")]
+        del args[i:i + 2]
+    force = None                      # force flat/blocked digit schedule
+    if "-force" in args:
+        i = args.index("-force")
+        force = args[i + 1]
+        del args[i:i + 2]
     sizes = [int(a) for a in args] or [605, 999]
     b1 = 3000
     tape = prac.stage1_tape(primes_range(0, b1), b1)
@@ -68,6 +79,10 @@ def main():
         p = ctx.p
 
         if mode in ("digit", "both"):
+            if force == "flat":
+                pallas_ops.BLOCKED_NW = 10 ** 9
+            elif force == "blocked":
+                pallas_ops.BLOCKED_NW = 0
             batch = pallas_ops.default_batch(ctx)
             curves = [suyama.build_one_curve(ctx, 7000 + i)
                       for i in range(batch)]
@@ -78,18 +93,22 @@ def main():
                                           p.w, p.nw)
             s_const = jnp.asarray(layout.pack_batch(
                 [c.s_mont for c in curves], p.w, p.nw))
-            run = pallas_ops.make_tape_executor(ctx, batch)
-            out = run(jnp.asarray(pts), tape, s_const)
-            _ = np.asarray(out[0, 0, :1])
-            t0 = time.time()
-            out = run(out, tape, s_const)
-            _ = np.asarray(out[0, 0, :1])
-            dt = (time.time() - t0) / steps
             sched = ("blocked" if p.nw > pallas_ops.BLOCKED_NW else
                      ("kara" if p.nw >= pallas_ops.KARA_NW else "school"))
-            print(f"nbits={nbits} nw={p.nw} w={p.w} norm={p.norm_inputs} "
-                  f"batch={batch} sched={sched}: {dt*1e6:.1f} us/point-op "
-                  f"({dt*1e9/batch:.1f} ns/curve)", flush=True)
+            for bw in (bws if sched == "blocked" else bws[:1]):
+                pallas_ops.BLOCKED_BW = bw
+                run = pallas_ops.make_tape_executor(ctx, batch)
+                out = run(jnp.asarray(pts), tape, s_const)
+                _ = np.asarray(out[0, 0, :1])
+                t0 = time.time()
+                out = run(out, tape, s_const)
+                _ = np.asarray(out[0, 0, :1])
+                dt = (time.time() - t0) / steps
+                bwtag = f" bw={bw}" if sched == "blocked" else ""
+                print(f"nbits={nbits} nw={p.nw} w={p.w} "
+                      f"norm={p.norm_inputs} batch={batch} "
+                      f"sched={sched}{bwtag}: {dt*1e6:.1f} us/point-op "
+                      f"({dt*1e9/batch:.1f} ns/curve)", flush=True)
 
         if mode in ("rns", "both"):
             from tpu_ecm.limbs import rns, rns_exec

@@ -73,8 +73,10 @@ class RunConfig:
 
 
 # auto-engine crossover: the digit/VPU path's cost grows ~nw^2 in VPU issue
-# slots while the RNS/MXU path rides the systolic array; threshold set from
-# measurement (see BENCH_NOTES.md round-2 RNS section)
+# slots while the RNS/MXU path rides the systolic array.  Initial placement
+# from the ARCHITECTURE.md channel-utilization economics (K >= ~85 channels
+# fills the 128-wide MXU tiles); re-measure on hardware with
+# tools/bench_large_moduli.py -both and record in BENCH_NOTES.md.
 RNS_MIN_BITS = 1400
 
 

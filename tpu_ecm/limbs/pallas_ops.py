@@ -56,6 +56,11 @@ KARA_NW = 20
 # deeper (8/6) measured 7.09 — combine adds win below ~10 digits
 KARA_MIN = 10
 
+# blocked-CIOS live-column window (the TPU analog of the reference's
+# BLOCKWORDS=4, /root/reference/avx_ecm.h:54); module-level so the
+# large-moduli sweep (tools/bench_large_moduli.py) can tune it per nw
+BLOCKED_BW = 8
+
 
 def default_batch(ctx: MontyCtx, max_batch: int = 2048) -> int:
     """Per-chip sweet-spot curve batch: live state scales with nw * batch,
@@ -120,7 +125,7 @@ def _make_arith(ctx: MontyCtx):
     # blocked schedule (the TPU analog of the reference's BLOCKWORDS=4 CIOS,
     # /root/reference/vecarith52.c:2438): only a BW-column register window
     # live per block; operand/quotient rows stream (store-once/load-many)
-    BW = 8
+    BW = BLOCKED_BW
 
     def product_cols(ar, br):
         cols = [None] * (2 * nw)
@@ -203,16 +208,41 @@ def _make_arith(ctx: MontyCtx):
         return [zero if c is None else c for c in cols] \
             + [zero] * (2 * nw - len(cols))
 
+    def _ab_col(ar, br, c):
+        """Column-c sum of a*b partial products.  br=None squares with the
+        symmetry trick: only i < c-i terms, one doubling add, plus the
+        center square — the assembled integer (2*ar[i]*ar[c-i] = the two
+        mirrored schoolbook terms) is identical, so digit outputs stay
+        bit-exact while the MAC count halves."""
+        lo_i, hi_i = max(0, c - nw + 1), min(nw, c + 1)
+        if br is not None:
+            t = None
+            for i in range(lo_i, hi_i):
+                u = ar[i] * br[c - i]
+                t = u if t is None else t + u
+            return t
+        hs = None
+        for i in range(lo_i, (c + 1) // 2):
+            u = ar[i] * ar[c - i]
+            hs = u if hs is None else hs + u
+        t = None if hs is None else hs + hs
+        if c % 2 == 0:
+            d = ar[c // 2] * ar[c // 2]
+            t = d if t is None else t + d
+        return t
+
     def product_cols_blocked(ar, br):
-        """Same column sums, accumulated in BW-column blocks."""
+        """Same column sums, accumulated in BW-column blocks (br=None:
+        symmetric squaring)."""
         zero = jnp.zeros_like(ar[0])
         cols = []
         for lo in range(0, 2 * nw, BW):
             hi = min(2 * nw, lo + BW)
             t = [zero] * (hi - lo)
             for c in range(lo, hi):
-                for i in range(max(0, c - nw + 1), min(nw, c + 1)):
-                    t[c - lo] = t[c - lo] + ar[i] * br[c - i]
+                u = _ab_col(ar, br, c)
+                if u is not None:
+                    t[c - lo] = t[c - lo] + u
             cols += t
         cols[2 * nw - 1] = zero
         return cols
@@ -285,7 +315,9 @@ def _make_arith(ctx: MontyCtx):
             produce the quotient digits s[0..nw) and the carry into column
             nw; pass 2 accumulates the high columns (a*b + s*n) per block.
             Identical digit values to product_cols+reduce_cols (int32
-            wrapping addition is commutative), ~BW live accumulators."""
+            wrapping addition is commutative), ~BW live accumulators.
+            br=None squares via the symmetric _ab_col sums (same integers,
+            half the a*b MACs) while keeping the blocked register window."""
             zero = jnp.zeros_like(ar[0])
             s = [None] * nw
             carry = zero
@@ -293,8 +325,9 @@ def _make_arith(ctx: MontyCtx):
                 hi = min(nw, lo + BW)
                 t = [zero] * (hi - lo)
                 for c in range(lo, hi):
-                    for i in range(0, min(nw, c + 1)):
-                        t[c - lo] = t[c - lo] + ar[i] * br[c - i]
+                    u = _ab_col(ar, br, c)
+                    if u is not None:
+                        t[c - lo] = t[c - lo] + u
                     for i in range(0, lo):
                         j = c - i
                         if j < nw and n_dig[j]:
@@ -315,8 +348,9 @@ def _make_arith(ctx: MontyCtx):
                 hi = min(2 * nw, lo + BW)
                 t = [zero] * (hi - lo)
                 for c in range(lo, hi):
-                    for i in range(max(0, c - nw + 1), min(nw, c + 1)):
-                        t[c - lo] = t[c - lo] + ar[i] * br[c - i]
+                    u = _ab_col(ar, br, c)
+                    if u is not None:
+                        t[c - lo] = t[c - lo] + u
                     for i in range(max(0, c - nw + 1), nw):
                         j = c - i
                         if n_dig[j]:
@@ -356,11 +390,12 @@ def _make_arith(ctx: MontyCtx):
         if p.norm_inputs and not pre:
             ar = lazy_list(ar, passes=1)
         if blocked and not ctx.is_mersenne:
-            # square symmetry sacrificed at large nw: register locality of
-            # the blocked schedule outweighs the ~25% fewer multiplies
-            return mont_blocked(ar, ar)
+            # blocked register window AND square symmetry: _ab_col with
+            # br=None emits the mirrored-pair sums doubled (bit-identical
+            # integers, ~half the a*b MACs of the mul path)
+            return mont_blocked(ar, None)
         if blocked:
-            return reduce_cols(product_cols_blocked(ar, ar))
+            return reduce_cols(product_cols_blocked(ar, None))
         if nw >= KARA_NW:
             return reduce_cols(_kara_cols(ar, None))
         return reduce_cols(square_cols(ar))
