@@ -36,6 +36,7 @@ from . import rns
 from .pallas_ops import LANE, NUM_SLOTS, OP_NOP, _jit_maybe_sharded, \
     _local_batch
 
+
 def default_batch(host: rns.RnsHost, max_batch: int = 1024) -> int:
     """Per-chip curve batch: live VMEM state scales with rows * B (register
     file + ~10 mont_mul temporaries), so mirror the digit engine's
