@@ -140,6 +140,29 @@ def test_rns_engine_pallas_stage2(tmp_path):
     assert (P35, 2, 112) in got
 
 
+def test_rns_engine_pallas_stage2_sharded(tmp_path):
+    """engine='rns' + Sharder: all five RNS Pallas executors (tape, chain,
+    prefix, apply-inverse, replay) shard_mapped over a 2-device mesh must
+    give the same factor set as the unsharded jnp run — the multi-chip
+    contract extended to the RNS stage-2 path."""
+    from tpu_ecm.parallel import mesh as _mesh
+    P35, P36 = 34359738421, 68719476767
+    sh = _mesh.Sharder(jax.devices()[:2])
+    cfg = _cfg(tmp_path, n=P35 * P36, curves=256, b1=300, b2=10000,
+               sigma=110, engine="rns", use_pallas=True,
+               pallas_interpret=True, batch=256, sharder=sh,
+               stop_on_factor=False)
+    got = {(h.factor, h.stage, h.sigma)
+           for h in driver.ECMDriver(cfg).run().factors}
+    cfg2 = _cfg(tmp_path, n=P35 * P36, curves=256, b1=300, b2=10000,
+                sigma=110, engine="rns", use_pallas=False, batch=256,
+                stop_on_factor=False)
+    ref = {(h.factor, h.stage, h.sigma)
+           for h in driver.ECMDriver(cfg2).run().factors}
+    assert got == ref
+    assert (P35, 2, 112) in got
+
+
 def test_rns_engine_1536bit_stage2_find(tmp_path):
     """Large-moduli end-to-end: a 1535-bit input (P35 x P1500) on the RNS
     engine — stage-1 AND stage-2 arithmetic run the split/MXU formulation —
