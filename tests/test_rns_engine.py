@@ -180,6 +180,25 @@ def test_rns_engine_1536bit_stage2_find(tmp_path):
                for h in res.factors), res.factors
 
 
+def test_rns_engine_resume_stage2(tmp_path):
+    """A >=1400-bit savefile resume rides the RNS stage-2 path (the same
+    engine a fresh run auto-dispatches to) and finds the pinned factor."""
+    rng = random.Random(5)
+    P35 = 34359738421
+    n = P35 * _prp(rng, 1500)
+    save = tmp_path / "save_b1.txt"
+    cfg = _cfg(tmp_path, n=n, curves=4, b1=300, b2=300, sigma=110,
+               save_b1_path=str(save), stop_on_factor=False)
+    d = driver.ECMDriver(cfg)
+    assert d.engine == "rns"
+    d.run()
+    res = driver.resume_stage2(str(save), 10000, verbose=0,
+                               results_path=str(tmp_path / "r.txt"),
+                               cache_dir=str(tmp_path / "cache"))
+    assert any(h.factor % P35 == 0 and h.stage == 2 and h.sigma == 112
+               for h in res.factors), res.factors
+
+
 def test_engine_auto_dispatch(tmp_path):
     rng = random.Random(3)
     big = _prp(rng, 768) * _prp(rng, 768)

@@ -323,9 +323,10 @@ class ECMDriver:
 
     def _run_batch_rns(self, sigmas: List[int], base_idx: int
                        ) -> List[Tuple[int, int, int]]:
-        """Stage 1 on RNS residue planes (large moduli), then the digit-
-        plane stage 2 on the repacked result — the representations meet at
-        canonical (X, Z) integers, exactly like a savefile round-trip."""
+        """Stage 1 AND stage 2 on RNS residue planes (large moduli): the
+        Stage2Runner orchestration is engine-generic via the RnsOps
+        adapter, so the whole run stays on residue channels; savefiles
+        still get canonical (X, Z) integers at the phase boundary."""
         import jax.numpy as jnp
 
         from .limbs import rns_exec
@@ -745,9 +746,25 @@ def resume_stage2(path: str, b2: int, *,
               f"(B1={b1}) into stage 2 to B2={b2}")
     t0 = time.time()
     consts = [suyama.build_one_curve(ctx, s).s_mont for s in sigmas]
-    xs_m = [ctx.to_mont_int(r.x % ctx.n_int) for r in recs]
-    zs_m = [ctx.to_mont_int(r.z % ctx.n_int) for r in recs]
-    state = _stage1.init_state(ctx, xs_m, zs_m, consts)
+    s2ops = None
+    if d.engine == "rns":
+        # large-moduli resume rides the same RNS stage-2 path as a fresh
+        # run (fixed sigma gives identical finds on either engine)
+        import jax.numpy as _jnp
+
+        from .limbs import rns_exec
+        h = d._rns_host
+        pts_np, sc_np = rns_exec.init_state(
+            h, [r.x % ctx.n_int for r in recs],
+            [r.z % ctx.n_int for r in recs],
+            [ctx.from_mont_int(s) for s in consts])
+        state = _stage1.Stage1State(pts=_jnp.asarray(pts_np),
+                                    s_const=_jnp.asarray(sc_np))
+        s2ops = rns_exec.RnsOps(h)
+    else:
+        xs_m = [ctx.to_mont_int(r.x % ctx.n_int) for r in recs]
+        zs_m = [ctx.to_mont_int(r.z % ctx.n_int) for r in recs]
+        state = _stage1.init_state(ctx, xs_m, zs_m, consts)
     d.timings["build"] = time.time() - t0
     # leftover stage-1 factors first (gcd of the saved Z)
     d._check_batch([r.z for r in recs], sigmas, 1, b1, 0)
@@ -757,7 +774,7 @@ def resume_stage2(path: str, b2: int, *,
     runner = s2exec.Stage2Runner(ctx, d.dctx, sp, state.pts[0],
                                  state.s_const, b1, verbose=verbose >= 2,
                                  use_pallas=d.use_pallas,
-                                 executor_cache=d._s2_executors)
+                                 executor_cache=d._s2_executors, ops=s2ops)
     runner.init()
     d.timings["stage2_init"] = time.time() - t0
     t0 = time.time()
