@@ -152,7 +152,10 @@ def main():
         return time.time() - t0
 
     warm = stage2_pass()              # compiles executors (shared cache)
-    s2_wall = stage2_pass()           # steady state: all executors cached
+    # steady state (executors cached); best-of-N because tunnel-attached
+    # chip throughput varies with external load (BENCH_NOTES.md)
+    s2_reps = int(os.environ.get("BENCH_S2_REPS", "2"))
+    s2_wall = min(stage2_pass() for _ in range(s2_reps))
     e2e = batch / (time_full + s2_wall)
     print(f"# stage2 warmup={warm:.1f}s steady={s2_wall:.1f}s "
           f"D={sp.D} U={sp.U} num_pb={sp.num_pb} "
