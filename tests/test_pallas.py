@@ -92,10 +92,14 @@ def test_pallas_karatsuba_bitexact(monkeypatch, n, mers):
     np.testing.assert_array_equal(got[0], ref[0])
 
 
-def test_pallas_blocked_cios_bitexact(monkeypatch):
+@pytest.mark.parametrize("kara", [False, True])
+def test_pallas_blocked_cios_bitexact(monkeypatch, kara):
     """Blocked-CIOS mulmod schedule (large-nw mode) must stay bit-identical
-    to the jnp path; forced on via the BLOCKED_NW threshold."""
+    to the jnp path; forced on via the BLOCKED_NW threshold.  kara=True
+    exercises the hybrid (Karatsuba-precomputed a*b columns feeding the
+    blocked REDC walk)."""
     monkeypatch.setattr(pallas_ops, "BLOCKED_NW", 4)
+    monkeypatch.setattr(pallas_ops, "BLOCKED_KARA", kara)
     ctx = params.make_monty(N64)
     dctx = jnp_ops.device_ctx(ctx)
     b = 128

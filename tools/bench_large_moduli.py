@@ -5,7 +5,7 @@ Used to place BLOCKED_NW (flat-vs-blocked crossover) and driver.RNS_MIN_BITS
 quoted in BENCH_NOTES.md.  Run on the TPU:
 
     PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_large_moduli.py \
-        [-rns|-both] [-bw 4,8,16] [-force flat|blocked] [nbits ...]
+        [-rns|-both] [-bw 4,8,16] [-force flat|blocked] [-kb] [nbits ...]
 """
 
 import os
@@ -45,6 +45,9 @@ def main():
         i = args.index("-force")
         force = args[i + 1]
         del args[i:i + 2]
+    if "-kb" in args:                 # hybrid kara+blocked REDC schedule
+        args.remove("-kb")
+        pallas_ops.BLOCKED_KARA = True
     sizes = [int(a) for a in args] or [605, 999]
     b1 = 3000
     tape = prac.stage1_tape(primes_range(0, b1), b1)
@@ -105,9 +108,10 @@ def main():
                 _ = np.asarray(out[0, 0, :1])
                 dt = (time.time() - t0) / steps
                 bwtag = f" bw={bw}" if sched == "blocked" else ""
+                kbtag = " kara" if pallas_ops.BLOCKED_KARA else ""
                 print(f"nbits={nbits} nw={p.nw} w={p.w} "
                       f"norm={p.norm_inputs} batch={batch} "
-                      f"sched={sched}{bwtag}: {dt*1e6:.1f} us/point-op "
+                      f"sched={sched}{bwtag}{kbtag}: {dt*1e6:.1f} us/point-op "
                       f"({dt*1e9/batch:.1f} ns/curve)", flush=True)
 
         if mode in ("rns", "both"):

@@ -34,8 +34,10 @@ step 03_bench 3600 python /root/repo/bench.py
 # 4. digit vs RNS crossover + symmetric-square effect at large moduli
 step 04_large 3600 python /root/repo/tools/bench_large_moduli.py -both 840 1008 1200 1400 1536 2048
 
-# 5. blocked-BW sweep at nw~93 (840-bit) and nw~112 (1008-bit)
+# 5. blocked-BW sweep at nw~93 (840-bit) and nw~112 (1008-bit), plus the
+#    hybrid kara+blocked schedule at the default BW
 step 05_bwsweep 3600 python /root/repo/tools/bench_large_moduli.py -bw 4,8,16 840 1008
+step 05b_kara 3600 python /root/repo/tools/bench_large_moduli.py -kb 840 1008 1200
 
 # 6. Edwards vs Suyama stage-1 throughput, back-to-back
 step 06_edwards 2400 python /root/repo/tools/hw_edwards_vs_suyama.py

@@ -61,6 +61,15 @@ KARA_MIN = 10
 # large-moduli sweep (tools/bench_large_moduli.py) can tune it per nw
 BLOCKED_BW = 8
 
+# hybrid schedule for the blocked regime: precompute the a*b column sums
+# with recursive Karatsuba (~20% fewer MACs than the inline schoolbook
+# sums) and feed them into the blocked REDC walk, which consumes them in
+# block order — unlike the flat schedule, the reduction's live window
+# stays BW columns.  Whether the kara interior's own spill eats the MAC
+# saving is an empirical question per nw (tools/bench_large_moduli.py
+# -kb); bit-exact either way (same assembled integers)
+BLOCKED_KARA = False
+
 
 def default_batch(ctx: MontyCtx, max_batch: int = 2048) -> int:
     """Per-chip sweet-spot curve batch: live state scales with nw * batch,
@@ -310,14 +319,16 @@ def _make_arith(ctx: MontyCtx):
                 cols[i + 1] = cols[i + 1] + jnp.right_shift(cols[i], w)
             return jnp.stack(lazy_list(cols[nw:2 * nw]))
 
-        def mont_blocked(ar, br):
+        def mont_blocked(ar, br, ab_cols=None):
             """Blocked CIOS: pass 1 walks the low columns in BW blocks to
             produce the quotient digits s[0..nw) and the carry into column
             nw; pass 2 accumulates the high columns (a*b + s*n) per block.
             Identical digit values to product_cols+reduce_cols (int32
             wrapping addition is commutative), ~BW live accumulators.
             br=None squares via the symmetric _ab_col sums (same integers,
-            half the a*b MACs) while keeping the blocked register window."""
+            half the a*b MACs) while keeping the blocked register window.
+            ab_cols (BLOCKED_KARA): precomputed a*b column sums — same
+            integers again, consumed in block order."""
             zero = jnp.zeros_like(ar[0])
             s = [None] * nw
             carry = zero
@@ -325,7 +336,8 @@ def _make_arith(ctx: MontyCtx):
                 hi = min(nw, lo + BW)
                 t = [zero] * (hi - lo)
                 for c in range(lo, hi):
-                    u = _ab_col(ar, br, c)
+                    u = ab_cols[c] if ab_cols is not None \
+                        else _ab_col(ar, br, c)
                     if u is not None:
                         t[c - lo] = t[c - lo] + u
                     for i in range(0, lo):
@@ -348,7 +360,8 @@ def _make_arith(ctx: MontyCtx):
                 hi = min(2 * nw, lo + BW)
                 t = [zero] * (hi - lo)
                 for c in range(lo, hi):
-                    u = _ab_col(ar, br, c)
+                    u = ab_cols[c] if ab_cols is not None \
+                        else _ab_col(ar, br, c)
                     if u is not None:
                         t[c - lo] = t[c - lo] + u
                     for i in range(max(0, c - nw + 1), nw):
@@ -378,6 +391,8 @@ def _make_arith(ctx: MontyCtx):
             ar = lazy_list(ar, passes=1)
             br = lazy_list(br, passes=1)
         if blocked and not ctx.is_mersenne:
+            if BLOCKED_KARA:
+                return mont_blocked(ar, br, ab_cols=_kara_cols(ar, br))
             return mont_blocked(ar, br)
         if blocked:
             return reduce_cols(product_cols_blocked(ar, br))
@@ -393,6 +408,8 @@ def _make_arith(ctx: MontyCtx):
             # blocked register window AND square symmetry: _ab_col with
             # br=None emits the mirrored-pair sums doubled (bit-identical
             # integers, ~half the a*b MACs of the mul path)
+            if BLOCKED_KARA:
+                return mont_blocked(ar, None, ab_cols=_kara_cols(ar, None))
             return mont_blocked(ar, None)
         if blocked:
             return reduce_cols(product_cols_blocked(ar, None))
