@@ -239,3 +239,83 @@ def test_replay_kernel_value_parity(entries_per_step):
             jnp.asarray(idx))), p.w)
     for i in range(b):
         assert got[i] % n == ref[i] % n, i
+
+
+def test_replay_resident_kernel_value_parity():
+    """VMEM-resident replay kernel (manual-DMA Pb slab + dynamic row index)
+    vs the sequential jnp reference — same contract as the gather kernel,
+    with idx column 1 in LOCAL slab coordinates (row 0 = zero pad row)."""
+    import random
+    import jax.numpy as jnp
+    from tpu_ecm.limbs import jnp_ops, layout, pallas_ops
+    n = 2545580083 * 2551628647
+    ctx = params.make_monty(n)
+    dctx = jnp_ops.device_ctx(ctx)
+    p = ctx.p
+    b = 128
+    rng = random.Random(7)
+    PA, PB, T = 17, 9, 16
+
+    def mk(rows):
+        return np.stack([layout.pack_batch(
+            [rng.randrange(n) for _ in range(b)], p.w, p.nw)
+            for _ in range(rows)])
+
+    pa, slab = mk(PA), mk(PB)
+    pa[-1] = layout.broadcast_int(ctx.r_mod_n, p.w, p.nw, b)
+    slab[0] = 0
+    acc0 = layout.pack_batch([rng.randrange(n) for _ in range(b)], p.w, p.nw)
+    idx = np.stack([np.array([rng.randrange(PA - 1) for _ in range(T)]),
+                    np.array([rng.randrange(1, PB) for _ in range(T)])],
+                   1).astype(np.int32)
+    idx[-2:] = [PA - 1, 0]     # exercise the pad convention in-kernel
+    acc = jnp.asarray(acc0)
+    for v, u in idx.tolist():
+        acc = jnp_ops.mulmod(acc, jnp.asarray(pa[v] - slab[u]), dctx)
+    ref = layout.unpack_batch(np.asarray(acc), p.w)
+    run = pallas_ops.make_replay_resident_executor(
+        ctx, b, PA, PB, t_block=T, entries_per_step=8, interpret=True)
+    got = layout.unpack_batch(np.asarray(
+        run(jnp.asarray(acc0), jnp.asarray(pa), jnp.asarray(slab),
+            jnp.asarray(idx))), p.w)
+    for i in range(b):
+        assert got[i] % n == ref[i] % n, i
+
+
+def test_stage2_replay_resident_runner_parity(monkeypatch):
+    """Full Stage2Runner in resident-replay mode with the slab budget forced
+    to one Pb row per slab (maximum partitioning: every slab remap, pad, and
+    per-slab call path exercised) must produce the same accumulators as
+    gather mode."""
+    n = P61
+    b1, b2 = 300, 4000
+    ctx = params.make_monty(n)
+    dctx = jnp_ops.device_ctx(ctx)
+    sigmas = [40 + i for i in range(128)]
+    curves = [suyama.build_one_curve(ctx, s) for s in sigmas]
+    p = ctx.p
+    pt = np.stack([layout.pack_batch([c.x_mont for c in curves], p.w, p.nw),
+                   layout.pack_batch([c.z_mont for c in curves], p.w, p.nw)])
+    s_const = jnp.asarray(
+        layout.pack_batch([c.s_mont for c in curves], p.w, p.nw))
+    sp = s2plan.make_stage2_params(b1, b2)
+    primes = primes_range(b1, b2 + 1000)
+    map_v, map_u, amin0, _ = s2plan.pair(sp, primes, b1, b2)
+
+    def run(mode, slab_mb=None):
+        monkeypatch.setenv("TPU_ECM_REPLAY", mode)
+        if slab_mb is None:
+            monkeypatch.delenv("TPU_ECM_REPLAY_SLAB_MB", raising=False)
+        else:
+            monkeypatch.setenv("TPU_ECM_REPLAY_SLAB_MB", slab_mb)
+        runner = s2exec.Stage2Runner(ctx, dctx, sp, jnp.asarray(pt), s_const,
+                                     b1, use_pallas=True, interpret=True)
+        runner.init()
+        runner.run_chunk(map_v, map_u, amin0)
+        return runner.result()
+
+    ref = run("gather")
+    got = run("resident", "0")    # cap=1: one Pb row per slab
+    assert got.acc == ref.acc
+    assert got.factors == ref.factors
+    assert got.paired == ref.paired

@@ -52,4 +52,7 @@ step 08_hugeb1 7200 python /root/repo/tools/hw_huge_bounds.py b1
 # 9. RNS engine stage-2 factor find at 1535 bits on real hardware
 step 09_rns1536 3600 python /root/repo/tools/hw_rns_1536.py
 
+# 10. stage-2 replay kernel: gather vs VMEM-resident Pb slabs, back-to-back
+step 10_replay 3600 python /root/repo/tools/hw_replay_modes.py
+
 echo "all steps attempted; logs in $OUT"

@@ -767,6 +767,110 @@ def make_replay_executor(ctx: MontyCtx, batch: int, pa_rows: int,
         out_specs=P(None, ax))
 
 
+def make_replay_resident_executor(ctx: MontyCtx, batch: int, pa_rows: int,
+                                  slab_rows: int, t_block: int = 2048,
+                                  entries_per_step: int = 8,
+                                  interpret: bool = False, sharder=None):
+    """Replay variant with the Pb table slab VMEM-RESIDENT.
+
+    The gather executor (make_replay_executor) DMAs one full Pb row
+    (nw*B*4 bytes) from HBM per entry — at the flagship geometry that is
+    ~295 KB/entry, about a third of the measured 2.13 us/entry.  Entries
+    are already sorted by Pa row, so consecutive Pa fetches dedup in the
+    pipeline; the Pb fetches cannot (each prime hits a different residue
+    row).  Here the Pb rows arrive as a slab in ANY memory space and are
+    copied ONCE per call into a VMEM scratch (manual DMA => single
+    buffer, no double-buffering blowup); per entry the row is a dynamic
+    VMEM index, so steady-state HBM traffic is just the Pa gathers —
+    which dedup to ~nothing under the v-sort.  The host partitions
+    entries into row slabs sized to the VMEM budget (stage2/exec.py).
+
+    run(acc [NW,B], pa_ext [pa_rows,NW,B], slab [slab_rows,NW,B],
+        idx [t_block,2] int32 (pa row, LOCAL slab row)) -> acc.
+    Pad entries with (pa_rows-1, 0): pa_ext[-1] is the Montgomery one and
+    slab row 0 is held zero by the slab builder.
+    """
+    p = ctx.p
+    nw = p.nw
+    assert t_block % entries_per_step == 0
+    bs = _local_batch(batch, sharder) // LANE
+    E = entries_per_step
+    nsteps = t_block // E
+
+    def kernel(idx_ref, *refs):
+        pa_rows_in = refs[:E]
+        slab_any, acc_in, acc_out = refs[E], refs[E + 1], refs[E + 2]
+        slab_vmem, acc_scr, sem = refs[-3], refs[-2], refs[-1]
+        mulmod, _, norm1 = _make_arith(ctx)
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            cp = pltpu.make_async_copy(slab_any, slab_vmem, sem)
+            cp.start()
+            cp.wait()
+            acc_scr[...] = acc_in[...]
+
+        # one lazy pass per Pa-Pb difference; tree/acc products run on
+        # pre-safe operands (see make_replay_executor)
+        diffs = []
+        for k in range(E):
+            u = idx_ref[2 * (E * i + k) + 1]
+            diffs.append(norm1(pa_rows_in[k][0] - slab_vmem[u]))
+        while len(diffs) > 1:
+            diffs = ([mulmod(diffs[j], diffs[j + 1], pre=True)
+                      for j in range(0, len(diffs) - 1, 2)]
+                     + ([diffs[-1]] if len(diffs) % 2 else []))
+        acc_scr[...] = mulmod(acc_scr[...], diffs[0], pre=True)
+
+        @pl.when(i == nsteps - 1)
+        def _():
+            acc_out[...] = acc_scr[...]
+
+    gather_specs = [
+        pl.BlockSpec((1, nw, bs, LANE),
+                     lambda i, idx, k=k: (idx[2 * (E * i + k)], 0, 0, 0))
+        for k in range(E)
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsteps,),
+        in_specs=gather_specs + [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((nw, bs, LANE), lambda i, idx: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nw, bs, LANE), lambda i, idx: (0, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((slab_rows, nw, bs, LANE), jnp.int32),
+                        pltpu.VMEM((nw, bs, LANE), jnp.int32),
+                        pltpu.SemaphoreType.DMA],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nw, bs, LANE), jnp.int32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+    )
+
+    def body(acc, pa_ext, slab, idx):
+        bl = acc.shape[-1]
+        acc4 = acc.reshape(nw, bl // LANE, LANE)
+        pa4 = pa_ext.reshape(pa_rows, nw, bl // LANE, LANE)
+        slab4 = slab.reshape(slab_rows, nw, bl // LANE, LANE)
+        out = call(idx.reshape(2 * t_block), *([pa4] * E), slab4, acc4)
+        return out.reshape(nw, bl)
+
+    ax = sharder.axis_name if sharder is not None else None
+    return _jit_maybe_sharded(
+        body, sharder,
+        in_specs=(P(None, ax), P(None, None, ax), P(None, None, ax),
+                  P(None, None)),
+        out_specs=P(None, ax))
+
+
 def make_tape_executor(ctx: MontyCtx, batch: int, chunk: int = 8192,
                        interpret: bool = False, sharder=None):
     """Returns run(pts [S,2,NW,B], tape [T,5], s_const [NW,B]) -> pts.

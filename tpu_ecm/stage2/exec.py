@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -278,6 +279,14 @@ class DigitOps:
             self.ctx, b, pa_rows=pa_rows, pb_rows=pb_rows, t_block=t_block,
             entries_per_step=entries_per_step, sharder=self.sharder,
             interpret=self.interpret)
+
+    def make_replay_resident(self, b, pa_rows, slab_rows, t_block,
+                             entries_per_step):
+        from ..limbs import pallas_ops
+        return pallas_ops.make_replay_resident_executor(
+            self.ctx, b, pa_rows=pa_rows, slab_rows=slab_rows,
+            t_block=t_block, entries_per_step=entries_per_step,
+            sharder=self.sharder, interpret=self.interpret)
 
 
 # ---------------------------------------------------------------------------
@@ -583,18 +592,94 @@ class Stage2Runner:
                 pos = hi
             base += G
 
+    # replay-kernel mode: "gather" DMAs one Pb row from HBM per entry;
+    # "resident" keeps Pb row slabs VMEM-resident and partitions entries
+    # by slab (see pallas_ops.make_replay_resident_executor).  Env-selected
+    # until the hardware sweep picks a default (tools/hw_replay_modes.py).
+    def _replay_mode(self) -> str:
+        mode = os.environ.get("TPU_ECM_REPLAY", "gather")
+        if (mode == "resident" and self.use_pallas
+                and hasattr(self.ops, "make_replay_resident")):
+            return "resident"
+        return "gather"
+
+    def _pbx_slabs(self):
+        """[(lo, slab)]: Pb rows cut into uniform VMEM-budget slabs; local
+        row 0 of every slab is zero (the pad/no-op row), original row r
+        lives in slab (r - lo) + 1 of the slab covering [lo, lo+cap)."""
+        if getattr(self, "_slabs", None) is not None:
+            return self._slabs
+        row_b = self.b // self.sharder.n if self.sharder is not None \
+            else self.b
+        nwrows = int(self.pbx.shape[1])
+        row_bytes = nwrows * row_b * 4
+        budget = int(os.environ.get("TPU_ECM_REPLAY_SLAB_MB", "80")) << 20
+        cap = max(1, budget // row_bytes - 1)    # original rows per slab
+        r = int(self.pbx.shape[0])
+        nslabs = (r + cap - 1) // cap
+        zero = jnp.zeros_like(self.pbx[:1])
+        slabs = []
+        for h in range(nslabs):
+            lo = h * cap
+            part = self.pbx[lo:lo + cap]
+            if part.shape[0] < cap:
+                part = jnp.concatenate(
+                    [part, jnp.zeros((cap - part.shape[0],) + part.shape[1:],
+                                     part.dtype)], axis=0)
+            slabs.append((lo, jnp.concatenate([zero, part], axis=0)))
+        self._slabs = slabs
+        return slabs
+
+    @staticmethod
+    def _replay_e(default: int = 8) -> int:
+        """Entries per replay grid step (E); env-swept on hardware
+        (tools/hw_replay_modes.py).  Measured on TPU v5e: E=8 beats 4
+        (2.28 -> 2.13 us/entry, gather kernel)."""
+        return int(os.environ.get("TPU_ECM_REPLAY_E", str(default)))
+
+    def _replay_resident(self, pa_inv_ext, idx: np.ndarray):
+        G = self.pa_group
+        slabs = self._pbx_slabs()
+        cap = int(slabs[0][1].shape[0]) - 1
+        e = self._replay_e()
+        key = (self._ek, "replay_res", G + 1, cap + 1, self.replay_block, e)
+        if key not in self._cache:
+            self._cache[key] = self.ops.make_replay_resident(
+                self.b, pa_rows=G + 1, slab_rows=cap + 1,
+                t_block=self.replay_block, entries_per_step=e)
+        replay = self._cache[key]
+        tb = self.replay_block
+        pb = idx[:, 1]
+        for lo, slab in slabs:
+            sel = (pb >= lo) & (pb < lo + cap)
+            if not sel.any():
+                continue
+            sub = idx[sel].copy()          # selection preserves the v-sort
+            sub[:, 1] += 1 - lo
+            for s in range(0, sub.shape[0], tb):
+                blk = sub[s:s + tb]
+                if blk.shape[0] < tb:
+                    pad = np.tile(np.array([[G, 0]], dtype=np.int32),
+                                  (tb - blk.shape[0], 1))
+                    blk = np.concatenate([blk, pad], axis=0)
+                self.acc = replay(self.acc, pa_inv_ext, slab,
+                                  jnp.asarray(blk))
+
     def _replay(self, pa_inv_ext, idx: np.ndarray):
         """acc *= prod (Pa_inv[v] - PbX[u]) over the entry list."""
         G = self.pa_group
+        if self._replay_mode() == "resident":
+            return self._replay_resident(pa_inv_ext, idx)
         if self.use_pallas:
+            e = self._replay_e()      # 8: 2.28 -> 2.13 us/entry vs E=4
             key = (self._ek, "replay", G + 1, int(self.pbx.shape[0]),
-                   self.replay_block)
+                   self.replay_block, e)
             if key not in self._cache:
                 self._cache[key] = self.ops.make_replay(
                     self.b, pa_rows=G + 1,
                     pb_rows=int(self.pbx.shape[0]),
                     t_block=self.replay_block,
-                    entries_per_step=8)  # 2.28 -> 2.13 us/entry vs E=4
+                    entries_per_step=e)
             replay = self._cache[key]
             tb = self.replay_block
             for lo in range(0, idx.shape[0], tb):
