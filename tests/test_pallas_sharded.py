@@ -123,6 +123,38 @@ def test_replay_executor_sharded_bitexact(env):
     np.testing.assert_array_equal(np.asarray(out), ref)
 
 
+def test_replay_resident_executor_sharded_bitexact(env):
+    """VMEM-resident-slab replay variant shard_mapped over the curves mesh:
+    the slab (like every residue plane) is batch-sharded; idx stays
+    replicated host metadata."""
+    ctx, dctx, sharder, pts, s_const, one = env
+    pa_rows, slab_rows, t_block = 5, 3, 8
+    pa = np.stack([np.roll(pts[0, 0], i, axis=-1) for i in range(pa_rows - 1)]
+                  + [one])
+    slab = np.stack([np.zeros_like(one)]
+                    + [np.roll(pts[0, 1], i, axis=-1)
+                       for i in range(slab_rows - 1)])
+    idx = np.array([[0, 1], [1, 2], [2, 1], [3, 2], [0, 2],
+                    [pa_rows - 1, 0], [pa_rows - 1, 0], [pa_rows - 1, 0]],
+                   np.int32)
+    ref = np.asarray(pallas_ops.make_replay_resident_executor(
+        ctx, B, pa_rows, slab_rows, t_block=t_block, entries_per_step=2,
+        interpret=True)(jnp.asarray(one), jnp.asarray(pa), jnp.asarray(slab),
+                        jnp.asarray(idx)))
+    gather_ref = np.asarray(pallas_ops.make_replay_executor(
+        ctx, B, pa_rows, slab_rows, t_block=t_block, entries_per_step=2,
+        interpret=True)(jnp.asarray(one), jnp.asarray(pa), jnp.asarray(slab),
+                        jnp.asarray(idx)))
+    np.testing.assert_array_equal(ref, gather_ref)
+    run = pallas_ops.make_replay_resident_executor(
+        ctx, B, pa_rows, slab_rows, t_block=t_block, entries_per_step=2,
+        interpret=True, sharder=sharder)
+    out = run(sharder.device_put(one), sharder.device_put(pa),
+              sharder.device_put(slab), jnp.asarray(idx))
+    assert len(out.sharding.device_set) == NDEV
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
 def test_driver_sharded_pallas_end_to_end(tmp_path):
     """Full driver run (stage 1 + stage 2) on the PALLAS engine sharded over
     2 devices: must find the pinned stage-2 factor and produce the identical
