@@ -73,21 +73,29 @@ def stage2_pass(cache_dict):
 
 
 results = {}
-for mode, e in (("gather", 8), ("resident", 8), ("resident", 16),
-                ("resident", 4), ("gather", 16)):
+# (mode, entries_per_step, replay_block): block only matters for resident
+# (it sets how many entries amortize one slab DMA); "" = runner default
+for mode, e, blk in (("gather", 8, ""), ("resident", 8, ""),
+                     ("resident", 8, "65536"), ("resident", 16, ""),
+                     ("resident", 4, ""), ("gather", 16, "")):
     os.environ["TPU_ECM_REPLAY"] = mode
     os.environ["TPU_ECM_REPLAY_E"] = str(e)
+    if blk:
+        os.environ["TPU_ECM_REPLAY_BLOCK"] = blk
+    else:
+        os.environ.pop("TPU_ECM_REPLAY_BLOCK", None)
     ec = {}
+    tag = f"{mode} E={e}" + (f" blk={blk}" if blk else "")
     try:
         warm, res = stage2_pass(ec)
     except Exception as exc:
-        print(f"{mode} E={e}: FAILED {type(exc).__name__}: "
+        print(f"{tag}: FAILED {type(exc).__name__}: "
               f"{str(exc)[:300]}", flush=True)
         continue
     steady = min(stage2_pass(ec)[0] for _ in range(REPS))
-    if e == 8:
+    if e == 8 and not blk:
         results[mode] = (steady, res)
-    print(f"{mode} E={e}: warm={warm:.1f}s steady={steady:.2f}s "
+    print(f"{tag}: warm={warm:.1f}s steady={steady:.2f}s "
           f"({steady / entries * 1e6:.2f} us/entry incl. init/inv)",
           flush=True)
 

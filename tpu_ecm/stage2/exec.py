@@ -338,6 +338,12 @@ class Stage2Runner:
             self.pa_group, self.replay_block = 4096, 16384
         else:
             self.pa_group, self.replay_block = 512, 4096
+        # env override for the hardware sweep (tools/hw_replay_modes.py):
+        # resident-mode replay re-DMAs its Pb slab once per kernel call, so
+        # a larger block amortizes the slab upload over more entries
+        rb = os.environ.get("TPU_ECM_REPLAY_BLOCK")
+        if rb:
+            self.replay_block = int(rb)
         one = self.ops.one_plane_np(b)
         self.one_plane = (sharder.device_put(one) if sharder is not None
                           else jnp.asarray(one))
