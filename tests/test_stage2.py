@@ -304,6 +304,10 @@ def test_stage2_replay_resident_runner_parity(monkeypatch):
 
     def run(mode, slab_mb=None):
         monkeypatch.setenv("TPU_ECM_REPLAY", mode)
+        # small replay blocks for BOTH modes: with cap=1 slabs, every slab's
+        # (few) entries pay a full padded t_block call — 32 keeps the
+        # interpret-mode cost sane without changing what's exercised
+        monkeypatch.setenv("TPU_ECM_REPLAY_BLOCK", "32")
         if slab_mb is None:
             monkeypatch.delenv("TPU_ECM_REPLAY_SLAB_MB", raising=False)
         else:
