@@ -245,3 +245,65 @@ def test_norm_inputs_mulmod_exact_1000bit():
     for i in range(b):
         assert got[i] % n == (av[i] * bv[i] * rinv) % n
         assert sq[i] % n == (av[i] * av[i] * rinv) % n
+
+
+def test_fuzz_random_moduli_chain():
+    """Seeded fuzz across the whole radix/size range: random odd moduli at
+    random widths (64..1100 bits, spanning every selected radix and the
+    norm_inputs regimes) plus random Mersenne / pseudo-Mersenne forms, each
+    driven through a random mul/sqr/addsub chain and checked word-for-word
+    against exact Python-int arithmetic.  The randomized analog of the
+    pinned-modulus tests above (the reference has no such oracle at all,
+    SURVEY.md section 4)."""
+    rng = random.Random(0xECF)
+    b = 8
+    cases = []
+    for _ in range(10):
+        bits = rng.randrange(64, 1100)
+        n = (rng.getrandbits(bits) | (1 << (bits - 1))) | 1
+        cases.append((n, None))
+    for _ in range(4):
+        e = rng.randrange(61, 700)
+        c = rng.choice([1, -1, rng.randrange(3, 1 << 20) | 1])
+        m = (1 << e) - c
+        cases.append((m, (e, c)))
+
+    for n, mers in cases:
+        ctx = params.make_monty(n, mersenne=mers)
+        dctx = jnp_ops.device_ctx(ctx)
+        p = ctx.p
+        to = (lambda v: v) if mers else ctx.to_mont_int
+        frm = (lambda v: v) if mers else ctx.from_mont_int
+        xv, yv = rand_vals(n, b, rng), rand_vals(n, b, rng)
+        prog = [rng.randrange(4) for _ in range(8)]
+
+        def chain(x, y, prog=prog, dctx=dctx):
+            for op in prog:
+                if op == 0:
+                    x = jnp_ops.mulmod(x, y, dctx)
+                elif op == 1:
+                    y = jnp_ops.sqrmod(y, dctx)
+                elif op == 2:
+                    x, y = jnp_ops.addsubmod(x, y, dctx)
+                else:
+                    x = jnp_ops.submod(y, x, dctx)
+            return jnp_ops.mulmod(x, y, dctx)
+
+        x = jnp.asarray(layout.pack_batch([to(v) for v in xv], p.w, p.nw))
+        y = jnp.asarray(layout.pack_batch([to(v) for v in yv], p.w, p.nw))
+        got = layout.unpack_batch(np.asarray(jax.jit(chain)(x, y)), p.w)
+
+        for i in range(b):
+            a, c2 = xv[i], yv[i]
+            for op in prog:
+                if op == 0:
+                    a = a * c2 % n
+                elif op == 1:
+                    c2 = c2 * c2 % n
+                elif op == 2:
+                    a, c2 = (a + c2) % n, (a - c2) % n
+                else:
+                    a = (c2 - a) % n
+            expect = a * c2 % n
+            assert frm(got[i] % n) == expect, (
+                f"bits={n.bit_length()} mers={mers} prog={prog} lane={i}")

@@ -57,3 +57,21 @@ def test_native_pair_match(b1, b2):
     assert got_amin == ref_amin
     np.testing.assert_array_equal(got_v, ref_v)
     np.testing.assert_array_equal(got_u, ref_u)
+
+
+def test_native_pair_fuzz_match():
+    """Random (B1, B2): the C++ planner must emit a bit-identical pairmap
+    to the Python planner (same algorithm, same tie-breaking)."""
+    import random
+    rng = random.Random(0xC44)
+    for _ in range(10):
+        b1 = rng.randrange(250, 30000)
+        b2 = b1 + rng.randrange(100, 40 * b1)
+        primes = _py_primes(b1, b2 + 1000)
+        sp = s2plan.make_stage2_params(b1, b2)
+        ref_v, ref_u, ref_amin, _ = s2plan.pair(sp, primes, b1, b2,
+                                                allow_native=False)
+        got_v, got_u, got_amin = native.pair(primes, b1, b2, sp.D, sp.U)
+        assert got_amin == ref_amin, (b1, b2)
+        np.testing.assert_array_equal(got_v, ref_v)
+        np.testing.assert_array_equal(got_u, ref_u)

@@ -323,3 +323,28 @@ def test_stage2_replay_resident_runner_parity(monkeypatch):
     assert got.acc == ref.acc
     assert got.factors == ref.factors
     assert got.paired == ref.paired
+
+
+def test_pair_fuzz_random_bounds():
+    """Seeded fuzz over random (B1, B2): the pairmap must cover every prime
+    in (B1, B2] for any D/U the cost model picks, including awkward window
+    alignments (tiny ranges, B2 barely past B1, huge ratios) — the
+    randomized analog of the reference's always-on testcoverage audit
+    (/root/reference/ecm.c:2883-2900)."""
+    import random
+    rng = random.Random(0x5742)
+    for trial in range(24):
+        b1 = rng.randrange(250, 60000)
+        b2 = b1 + rng.choice([
+            rng.randrange(40, 400),            # near-empty windows
+            rng.randrange(400, 20 * b1),       # typical
+            rng.randrange(20 * b1, 120 * b1),  # huge ratio
+        ])
+        sp = s2plan.make_stage2_params(b1, b2)
+        primes = primes_range(b1, b2 + 1000)
+        map_v, map_u, amin0, stats = s2plan.pair(sp, primes, b1, b2)
+        missing = s2plan.audit_coverage(sp, map_v, map_u, amin0,
+                                        primes, b1, b2)
+        assert missing == [], (
+            f"trial {trial}: b1={b1} b2={b2} D={sp.D} U={sp.U} "
+            f"uncovered {missing[:5]}")
