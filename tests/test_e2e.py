@@ -355,3 +355,80 @@ def test_mersenne_factor_pinned(tmp_path):
             if h.factor == 7432339208719}
     assert (511, 1) in hits, sorted(hits)
     assert (502, 2) in hits, sorted(hits)
+
+
+def _oracle_stage1_gcd(n, sigma, b1):
+    """Exact int replay of the driver's stage 1: gcd(Z, n) at the end."""
+    import math
+
+    from tpu_ecm.curve import oracle, prac, suyama
+    from tpu_ecm.primes import primes_range as _pr
+
+    ctx = params.make_monty(n)
+    dom = oracle.IntDomain(ctx)
+    c = suyama.build_one_curve(ctx, sigma)
+    X, Z, s = c.x_mont, c.z_mont, c.s_mont
+    for _ in range(prac.stage1_powers_of_two(b1)):
+        X, Z = oracle.xdbl_int(dom, X, Z, s)
+    for qq in _pr(3, b1).tolist():
+        qq, k = int(qq), 1
+        while True:
+            tape = []
+            prac.prac_tape(qq, tape)
+            X, Z = oracle.run_tape_int(ctx, tape, X, Z, s)[0]
+            k *= qq
+            if k * qq >= b1:
+                break
+    rinv = pow(ctx.p.R, -1, n)
+    return math.gcd(Z * rinv % n, n)
+
+
+def test_driver_fuzz_random_semiprimes_guaranteed_finds(tmp_path):
+    """Seeded driver-level property fuzz: for random ~24-bit semiprimes and
+    a random sigma window, every (sigma, p) the group-order oracle
+    GUARANTEES at (B1, B2) must be found by the real driver at that stage
+    (stage-2 guarantees may land early via x-only collision bonuses, so
+    those only require the factor to appear).  Lanes where both prime
+    factors are guaranteed are skipped up front; a reported MISS is accepted
+    only when the exact int oracle shows that lane's gcd collapsed to n
+    itself (an x-only collision bonus on the *other* prime — e.g. its
+    residual order after stage 1 is tiny — which the driver must reject as
+    trivial, ref ecm.c:2542-2557)."""
+    import random
+
+    from tpu_ecm.primes import primes_range
+    from tpu_ecm.utils.grouporder import smoothness_verdict
+
+    rng = random.Random(0xD21F)
+    pool = primes_range(1 << 24, (1 << 24) + 60000).tolist()
+    b1, b2, curves = 1000, 30000, 16
+    for trial in range(2):
+        p, q = rng.sample(pool, 2)
+        p, q = int(p), int(q)
+        n = p * q
+        base = rng.randrange(100, 10**6)
+        verdicts = [(smoothness_verdict(base + i, p, b1, b2),
+                     smoothness_verdict(base + i, q, b1, b2))
+                    for i in range(curves)]
+        cfg = _cfg(tmp_path, n=n, curves=curves, b1=b1, b2=b2,
+                   sigma=base, stop_on_factor=False)
+        res = driver.ECMDriver(cfg).run()
+        checked = 0
+        for i, (vp, vq) in enumerate(verdicts):
+            for prime, v, other in ((p, vp, vq), (q, vq, vp)):
+                if v == "unsmooth" or other != "unsmooth":
+                    continue
+                hits = [h for h in res.factors
+                        if h.sigma == base + i and h.factor % prime == 0]
+                if not hits:
+                    g = _oracle_stage1_gcd(n, base + i, b1)
+                    assert g == n, (
+                        f"trial {trial}: sigma {base + i} guaranteed {v} "
+                        f"find of {prime} (n={p}*{q}) missing and not a "
+                        f"whole-n collision (oracle stage-1 gcd={g})")
+                elif v == "stage1":
+                    assert any(h.stage == 1 for h in hits), (base + i, prime)
+                checked += 1
+        # the window sizes make 0 guaranteed lanes astronomically unlikely;
+        # if it ever happens the seed must change rather than pass silently
+        assert checked > 0, f"trial {trial}: no guaranteed lanes to check"
