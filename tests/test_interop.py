@@ -99,3 +99,29 @@ def test_reference_pseudo_mersenne_truncation_divergence():
     c_trunc = c % 2**32
     assert c_trunc == 225091            # what the reference actually uses
     assert (2**e - c_trunc) % n != 0    # ... which is not a multiple of N
+
+
+def test_malformed_savefile_records():
+    """Corrupted ECM records must fail with a clear error naming the line;
+    non-ECM/garbage lines are skipped (foreign-tool savefiles can hold
+    P-1/P+1 records we don't resume)."""
+    import io
+
+    import pytest
+
+    from tpu_ecm.io import savefile
+
+    ok = ("METHOD=ECM; SIGMA=110; B1=2000; N=0x1F; X=0x2; Z=0x3; "
+          "PROGRAM=AVX-ECM;\n")
+    skipped = ("METHOD=P-1; B1=2000; N=0x1F; X=0x2;\n"
+               "random garbage line\n\n")
+    recs = list(savefile.parse_records(io.StringIO(skipped + ok)))
+    assert len(recs) == 1 and recs[0].sigma == 110
+
+    for bad in (
+        "METHOD=ECM; B1=2000; N=0x1F; X=0x2;\n",          # missing SIGMA
+        "METHOD=ECM; SIGMA=110; B1=2000; N=0x1F;\n",       # missing X
+        "METHOD=ECM; SIGMA=zz; B1=2000; N=0x1F; X=0x2;\n",  # bad int
+    ):
+        with pytest.raises(ValueError, match="malformed ECM savefile"):
+            list(savefile.parse_records(io.StringIO(bad)))

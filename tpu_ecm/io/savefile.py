@@ -60,16 +60,21 @@ def parse_records(f: TextIO) -> Iterator[SaveRecord]:
         # GMP-ECM compatibility: SIGMA may carry a "param:value" prefix
         # (newer parameterizations), PARAM may appear as its own field, and
         # records with only a normalized X imply Z = 1
-        sig = fields["SIGMA"]
-        param = int(fields.get("PARAM", "0"))
-        if ":" in sig:
-            param_s, sig = sig.split(":", 1)
-            param = int(param_s)
-        yield SaveRecord(sigma=int(sig), b1=int(fields["B1"]),
-                         n=num(fields["N"]), x=num(fields["X"]),
-                         z=num(fields.get("Z", "0x1")),
-                         program=fields.get("PROGRAM", ""),
-                         param=param)
+        try:
+            sig = fields["SIGMA"]
+            param = int(fields.get("PARAM", "0"))
+            if ":" in sig:
+                param_s, sig = sig.split(":", 1)
+                param = int(param_s)
+            yield SaveRecord(sigma=int(sig), b1=int(fields["B1"]),
+                             n=num(fields["N"]), x=num(fields["X"]),
+                             z=num(fields.get("Z", "0x1")),
+                             program=fields.get("PROGRAM", ""),
+                             param=param)
+        except (KeyError, ValueError) as exc:
+            raise ValueError(
+                f"malformed ECM savefile record ({exc!r}): {line[:120]}"
+            ) from exc
 
 
 def classify_factor(f: int) -> str:
