@@ -138,3 +138,62 @@ def test_run_multihost_two_processes(tmp_path):
     assert lines["1"].endswith("[]")
     ran0, ran1 = int(lines["0"].split()[2]), int(lines["1"].split()[2])
     assert ran0 == ran1 < 6, (ran0, ran1)
+
+
+def test_collective_flag_plan_drain_single_process():
+    """plan() fixes the poll budget; drain() pads the shortfall so
+    all-gather counts always match across hosts (single-process path)."""
+    f = coord.CollectiveFlag()
+    f.plan(5)
+    assert f.poll(False) is False
+    assert f.poll(True) is True          # sticky from here on
+    f.drain()
+    assert f._polls == 5
+    assert f.poll(False) is True         # stickiness survives draining
+
+
+def test_driver_brackets_hit_flag_with_plan_and_drain(tmp_path):
+    """The driver must plan() the batch count before its loop and drain()
+    after it — including on early stop-on-factor exits."""
+    class Recording(coord.HitFlag):
+        def __init__(self):
+            self.planned = None
+            self.polls = 0
+            self.drained = 0
+
+        def plan(self, n_batches):
+            self.planned = n_batches
+
+        def poll(self, found_local):
+            self.polls += 1
+            return bool(found_local)
+
+        def drain(self):
+            self.drained += 1
+
+    flag = Recording()
+    n = 34359738421 * 68719476767
+    cfg = driver.RunConfig(
+        n=n, curves=8, b1=300, b2=300, sigma=110, batch=2, verbose=0,
+        hit_flag=flag, stop_on_factor=False,
+        save_b1_path=str(tmp_path / "s.txt"),
+        checkpoint_path=str(tmp_path / "c.txt"),
+        results_path=str(tmp_path / "r.txt"),
+        cache_dir=str(tmp_path / "cache"))
+    driver.ECMDriver(cfg).run()
+    assert flag.planned == 4
+    assert flag.polls == 4
+    assert flag.drained == 1
+
+    flag2 = Recording()
+    cfg2 = driver.RunConfig(
+        n=n, curves=8, b1=300, b2=300, sigma=174, batch=2, verbose=0,
+        hit_flag=flag2, stop_on_factor=True,
+        save_b1_path=str(tmp_path / "s2.txt"),
+        checkpoint_path=str(tmp_path / "c2.txt"),
+        results_path=str(tmp_path / "r2.txt"),
+        cache_dir=str(tmp_path / "cache"))
+    driver.ECMDriver(cfg2).run()
+    assert flag2.planned == 4
+    assert flag2.polls < 4               # sigma 174 hits in the first batch
+    assert flag2.drained == 1

@@ -190,3 +190,28 @@ def test_rns_stage1_matches_digit_engine():
         ex, ez = slots[0]
         assert got_x[i] == ctx.from_mont_int(ex)
         assert got_z[i] == ctx.from_mont_int(ez)
+
+
+def test_rns_split_threshold_accounts_for_mr_row():
+    """Regression: the non-split int32 extension dot must also be exact on
+    the m_r weight row, whose entries reach mr-1 = 2^(cw+1)-1 (~2x the
+    largest prime).  At ~800 bits (cw=12, K~72) the old K*maxp^2 bound
+    chose the non-split path while the m_r-row worst case exceeds 2^31;
+    the corrected K*(maxp-1)*(mr-1) bound must select the split path —
+    and arithmetic must stay exact there."""
+    rng = random.Random(4)
+    n = (rng.getrandbits(800) | (1 << 799)) | 1
+    ctx = params.make_monty(n)
+    h = rns.make_rns(ctx)
+    maxp = max(h.pa + h.pb)
+    worst = h.K * (maxp - 1) * (h.mr - 1)
+    assert worst >= 2 ** 31, "regime no longer exercises the threshold"
+    assert h.dev.use_split
+    b = 4
+    av = [rng.randrange(0, n) for _ in range(b)]
+    bv = [rng.randrange(0, n) for _ in range(b)]
+    x = jnp.asarray(h.pack([h.to_mont_int(v) for v in av]))
+    y = jnp.asarray(h.pack([h.to_mont_int(v) for v in bv]))
+    got = h.unpack(np.asarray(jax.jit(rns.mont_mul)(x, y, h.dev)))
+    for i in range(b):
+        assert h.from_mont_int(got[i]) == av[i] * bv[i] % n

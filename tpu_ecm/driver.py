@@ -224,7 +224,15 @@ class ECMDriver:
                       f"channels x 2 bases")
         self._executors: Dict[int, object] = {}
         self._s2_executors: Dict = {}
-        seed = _rng.hash64(int(time.time() * 1e6) & ((1 << 64) - 1))
+        # mix the process index into the random-sigma seed: multi-host
+        # random mode must not rest on microsecond clock skew alone to
+        # decorrelate the hosts' sigma streams
+        try:
+            pid = jax.process_index()
+        except Exception:
+            pid = 0
+        seed = _rng.hash64((int(time.time() * 1e6)
+                            ^ (pid * 0x9E3779B97F4A7C15)) & ((1 << 64) - 1))
         self.sigma_gen = _rng.SigmaGen(cfg.sigma, seed)
         self.factors: List[FactorHit] = []
         self.timings: Dict[str, float] = {}
@@ -661,22 +669,33 @@ class ECMDriver:
             total = cfg.sharder.round_batch(total)
         residues: List[Tuple[int, int, int]] = []
         done = 0
-        while done < total:
-            b = min(batch, total - done)
-            sigmas = [self.sigma_gen.next() for _ in range(b)]
-            if cfg.verbose:
-                print(f"Commencing curves {done}-{done + b - 1} of {total}")
-            residues += self.run_batch(sigmas, done)
-            done += b
-            hit = len(self.factors) > self._initial_hits
+        if cfg.hit_flag is not None:
+            # collective flags must agree on a poll budget up front: batch
+            # size (hence boundary count) depends on the LOCAL device count
+            # and engine, so hosts can differ — plan() all-gathers the max
+            # and drain() pads the shortfall so all-gather counts match
+            cfg.hit_flag.plan((total + batch - 1) // batch)
+        try:
+            while done < total:
+                b = min(batch, total - done)
+                sigmas = [self.sigma_gen.next() for _ in range(b)]
+                if cfg.verbose:
+                    print(f"Commencing curves {done}-{done + b - 1} "
+                          f"of {total}")
+                residues += self.run_batch(sigmas, done)
+                done += b
+                hit = len(self.factors) > self._initial_hits
+                if cfg.hit_flag is not None:
+                    # cross-host stop-on-factor: publish this host's bit and
+                    # learn everyone's at the batch boundary — the phase
+                    # granularity the reference stops at
+                    # (/root/reference/ecm.c:1529-1535)
+                    hit = cfg.hit_flag.poll(hit)
+                if hit and cfg.stop_on_factor:
+                    break
+        finally:
             if cfg.hit_flag is not None:
-                # cross-host stop-on-factor: publish this host's bit and
-                # learn everyone's at the batch boundary — the phase
-                # granularity the reference stops at
-                # (/root/reference/ecm.c:1529-1535)
-                hit = cfg.hit_flag.poll(hit)
-            if hit and cfg.stop_on_factor:
-                break
+                cfg.hit_flag.drain()
         return RunResult(n=cfg.n, work_modulus=self.ctx.n_int,
                          factors=self.factors, curves_run=done,
                          stage1_residues=residues, timings=dict(self.timings),

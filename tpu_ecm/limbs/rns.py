@@ -127,7 +127,7 @@ class RnsHost:
 
     def to_rns(self, x_mont: int) -> np.ndarray:
         """Montgomery(P)-domain int -> channel residues [2K+1]."""
-        x = x_mont % self.ctx.n_int if x_mont >= 0 else x_mont % self.ctx.n_int
+        x = x_mont % self.ctx.n_int
         chans = [x % p for p in self.pa] + [x % q for q in self.pb] \
             + [x % self.mr]
         return np.asarray(chans, dtype=np.int32)
@@ -135,13 +135,20 @@ class RnsHost:
     def pack(self, vals_mont: List[int]) -> np.ndarray:
         return np.stack([self.to_rns(v) for v in vals_mont], axis=1)
 
+    @functools.cached_property
+    def _crt_w(self) -> List[int]:
+        """A-base CRT weights (P/p_i) * ((P/p_i)^-1 mod p_i), reduced mod P
+        — computed once (unpack runs per host sync over whole planes)."""
+        out = []
+        for p in self.pa:
+            pi = self.P // p
+            out.append(pi * pow(pi % p, -1, p) % self.P)
+        return out
+
     def from_rns(self, res: np.ndarray) -> int:
         """A-base CRT -> exact value (valid while value < P), canonical
         mod N."""
-        x = 0
-        for i, p in enumerate(self.pa):
-            pi = self.P // p
-            x += int(res[i]) * pi * pow(pi, -1, p)
+        x = sum(int(r) * w for r, w in zip(res, self._crt_w))
         return (x % self.P) % self.ctx.n_int
 
     def unpack(self, res: np.ndarray) -> List[int]:
@@ -238,8 +245,11 @@ def make_rns(ctx: MontyCtx, cw: int = 12) -> RnsHost:
     bf = jnp.bfloat16
     t14 = np.asarray([[(1 << 14) % q] for q in rows_br], dtype=np.int32)
     t14_a = np.asarray([[(1 << 14) % p] for p in rows_ar], dtype=np.int32)
-    # direct int32 dot is exact only while the worst-case column sum fits
-    use_split = K * (max(pa + pb) ** 2) >= 2 ** 31
+    # direct int32 dot is exact only while the worst-case column sum fits;
+    # the weight matrices carry an m_r row whose entries reach
+    # mr - 1 = 2^(cw+1) - 1 (~2x the largest prime), so the bound is
+    # K * max_operand * max_weight, NOT K * maxp^2
+    use_split = K * (max(pa + pb) - 1) * (mr - 1) >= 2 ** 31
 
     dev = RnsCtx(
         p=jnp.asarray(allp), inv_p=jnp.asarray(inv_p),

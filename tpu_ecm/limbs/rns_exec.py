@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import PartitionSpec as P
 
 from . import rns
-from .pallas_ops import LANE, NUM_SLOTS, OP_NOP, _jit_maybe_sharded, \
+from .pallas_ops import LANE, NUM_SLOTS, _jit_maybe_sharded, \
     _local_batch
 
 
@@ -539,16 +539,10 @@ def make_rns_tape_executor(host: rns.RnsHost, batch: int, chunk: int = 4096,
         out_specs=P(None, None, None, ax), donate=(1,))
 
     def run(pts, tape, s_const):
+        from ..curve.prac import pad_tape
         pts4 = jnp.asarray(pts)
         s4 = jnp.asarray(s_const)
-        tape_np = np.asarray(tape)
-        t = tape_np.shape[0]
-        npad = (-t) % chunk
-        if npad:
-            nop = np.tile(np.asarray([[OP_NOP, NUM_SLOTS - 1, 0, 0, 0]],
-                                     np.int32), (npad, 1))
-            tape_np = np.concatenate([tape_np, nop], axis=0)
-        flat = tape_np.reshape(-1)
+        flat = pad_tape(np.asarray(tape), chunk).reshape(-1)
         for lo in range(0, flat.shape[0], 5 * chunk):
             pts4 = chunk_call(jnp.asarray(flat[lo:lo + 5 * chunk]), pts4, s4,
                               *leaves)

@@ -62,9 +62,10 @@ def run_multihost(n: int, total_curves: int, b1: int, *,
     Each host runs the identical program on its local devices with a
     disjoint slice of the curve budget; fixed sigma => the union of all
     hosts' results is bit-identical to a single giant run (the reference's
-    determinism property across threads, threadpool.c NO_THREADS).  Every
-    host gets the same ceil(total/nproc) curve count, so batch counts — and
-    therefore CollectiveFlag poll counts — are identical on every host.
+    determinism property across threads, threadpool.c NO_THREADS).  Batch
+    counts may differ across hosts (batch size follows the local device
+    count), so the driver negotiates the CollectiveFlag poll budget via
+    plan()/drain() — see parallel/coordination.py.
     """
     import jax
 
@@ -77,8 +78,9 @@ def run_multihost(n: int, total_curves: int, b1: int, *,
     curves_here = (total_curves + nproc - 1) // nproc
     base = host_sigma_base(sigma, pid, curves_here)
     if sigma == 0:
-        # random mode: each host gets its own results file; the driver's
-        # time-seeded SigmaGen decorrelates hosts on its own
+        # random mode: each host gets its own results file; the driver
+        # seeds SigmaGen from (time, process_index) so host streams
+        # decorrelate even under synchronized clocks
         kw.setdefault("results_path", f"ecm_results_h{pid}.txt")
     if "sharder" not in kw and len(jax.local_devices()) > 1:
         # drive every local chip, not one per process

@@ -358,9 +358,6 @@ class Stage2Runner:
         self.run_tape = self._cache[(self._ek, "run_tape")]
         self.pbx: Optional[jax.Array] = None
         self.pd = None
-        self.pa = None                # [2L, 2, NW, B]
-        self.pa_inv = None            # [2L, NW, B]
-        self.amin = 0
 
     def _count_tape(self, tape: np.ndarray):
         """ADD/DUP op counters for a host-planned tape (the reference counts
