@@ -597,8 +597,12 @@ class Stage2Runner:
 
     # replay-kernel mode: "gather" DMAs one Pb row from HBM per entry;
     # "resident" keeps Pb row slabs VMEM-resident and partitions entries
-    # by slab (see pallas_ops.make_replay_resident_executor).  Env-selected
-    # until the hardware sweep picks a default (tools/hw_replay_modes.py).
+    # by slab (see pallas_ops.make_replay_resident_executor).  The hardware
+    # sweep (tools/hw_replay_modes.py, 2026-08-19) picked gather: resident
+    # is 10% slower at the flagship geometry (the slab DMA + per-slab
+    # entry partitioning costs more than the double-buffered HBM gathers
+    # save); TPU_ECM_REPLAY=resident remains for re-evaluation at other
+    # geometries.
     def _replay_mode(self) -> str:
         mode = os.environ.get("TPU_ECM_REPLAY", "gather")
         if (mode == "resident" and self.use_pallas
@@ -636,8 +640,10 @@ class Stage2Runner:
     @staticmethod
     def _replay_e(default: int = 8) -> int:
         """Entries per replay grid step (E); env-swept on hardware
-        (tools/hw_replay_modes.py).  Measured on TPU v5e: E=8 beats 4
-        (2.28 -> 2.13 us/entry, gather kernel)."""
+        (tools/hw_replay_modes.py).  Measured on TPU v5e (full flagship
+        stage-2, steady state): gather E=16 4.12 us/entry beats E=8's
+        5.02; resident is slower at every E (5.52/4.96/13.94 for
+        E=8/4/16), so gather stays the default mode."""
         return int(os.environ.get("TPU_ECM_REPLAY_E", str(default)))
 
     def _replay_resident(self, pa_inv_ext, idx: np.ndarray):
@@ -674,7 +680,7 @@ class Stage2Runner:
         if self._replay_mode() == "resident":
             return self._replay_resident(pa_inv_ext, idx)
         if self.use_pallas:
-            e = self._replay_e()      # 8: 2.28 -> 2.13 us/entry vs E=4
+            e = self._replay_e(16)    # E=16: 4.12 vs 5.02 us/entry at E=8
             key = (self._ek, "replay", G + 1, int(self.pbx.shape[0]),
                    self.replay_block, e)
             if key not in self._cache:
