@@ -91,6 +91,33 @@ def test_resume_stage2_from_savefile(tmp_path):
         driver.resume_stage2(sv, 300)   # B2 <= savefile B1
 
 
+def test_resume_stage2_batched_and_sharded(tmp_path):
+    """A 10k-record savefile is resumed in device-sized batch groups (and
+    sharded over the 8-device CPU mesh): the (factor, sigma) find-set must
+    be identical to the single-group resume — stage-2 hits, stage-1
+    leftover-Z hits, and inversion-failure harvests are all grouping- and
+    sharding-independent (the golden-sweep invariant applied to resume)."""
+    from tpu_ecm.parallel.mesh import Sharder
+    sv = str(tmp_path / "save_b1.txt")
+    n_curves = 10_016
+    driver.ECMDriver(_cfg(tmp_path, n=N71, curves=n_curves, b1=300, b2=300,
+                          sigma=110, save_b1_path=sv,
+                          checkpoint_path=None, stop_on_factor=False,
+                          results_path=str(tmp_path / "r0.txt"))).run()
+
+    def finds(**kw):
+        res = driver.resume_stage2(
+            sv, 2000, verbose=0, cache_dir=str(tmp_path / "cache"),
+            results_path=str(tmp_path / "r.txt"), **kw)
+        assert res.curves_run == n_curves
+        return {(h.factor, h.sigma, h.stage) for h in res.factors}
+
+    whole = finds()                      # one group of all 10,016 records
+    assert any(f == P35 for f, _, _ in whole)   # oracle sigma-112-style hits
+    assert finds(batch=4096) == whole           # 3 uneven groups
+    assert finds(batch=2048, sharder=Sharder()) == whole   # 8-device mesh
+
+
 def test_calc_huge_sqrt():
     big = (10 ** 400 + 7) ** 2
     assert _calc.calc(f"sqrt({big})") == 10 ** 400 + 7

@@ -165,6 +165,47 @@ def test_e2e_stage2_find(tmp_path):
     assert hit and hit[0].stage == 2 and hit[0].sigma == 29, res.factors
 
 
+def test_chunked_stage1_checkpoints_and_same_point(tmp_path):
+    """Edwards stage 1 split over prime chunks (the reference's 1e8-prime
+    checkpoint cadence, /root/reference/ecm.c:1236-1312): checkpoint.txt is
+    appended per chunk boundary, and the final point is the SAME affine
+    point as the single-chunk run (the chunk-boundary normalization changes
+    the projective representative, not the point)."""
+    from tpu_ecm.io import savefile
+    common = dict(n=N71, curves=4, b1=1500, b2=1500, sigma=9)
+    one = driver.ECMDriver(_cfg(tmp_path, **common)).run()
+    ck = str(tmp_path / "checkpoint.txt")
+    chunked = driver.ECMDriver(_cfg(
+        tmp_path, prime_chunk=500, checkpoint_path=ck,
+        save_b1_path=str(tmp_path / "s2.txt"),
+        results_path=str(tmp_path / "r2.txt"), **common)).run()
+    # checkpoints: 2 boundaries (500, 1000) x 4 curves, Edwards-tagged,
+    # monotonically increasing B1 labels
+    with open(ck) as f:
+        recs = list(savefile.parse_records(f))
+    assert len(recs) == 8
+    assert all(r.n == N71 for r in recs)
+    b1s = sorted({r.b1 for r in recs})
+    assert len(b1s) == 2 and b1s[-1] <= 1500
+    # same affine final point per sigma: x = U/W must agree
+    for (s1, u1, w1), (s2, u2, w2) in zip(one.stage1_residues,
+                                          chunked.stage1_residues):
+        assert s1 == s2
+        assert u1 * w2 % N71 == u2 * w1 % N71, s1
+    # and the checkpointed mid-points are the true [s_c0]P (int oracle)
+    for r in [r for r in recs if r.b1 == b1s[0]][:2]:
+        c = ed.build_one_curve(_IntCtx(N71), r.sigma)
+        s = ed.stage1_scalar(
+            [p for p in range(2, 500) if _is_prime(p)], 1500)
+        Q = ed.oracle_scalar_mul(s, c.x0, c.y0, c.d, N71)
+        u, w = ed.to_montgomery_xz(Q, N71)
+        assert r.x * w % N71 == r.z * u % N71, r.sigma
+
+
+def _is_prime(p):
+    return p > 1 and all(p % q for q in range(2, int(p ** 0.5) + 1))
+
+
 def test_savefile_resumable_montgomery_point(tmp_path):
     """Edwards-mode save_b1 records carry the *Montgomery-equivalent* (X, Z)
     so foreign GMP-ECM stage-2 resume keeps working; PROGRAM tags the curve

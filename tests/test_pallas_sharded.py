@@ -123,6 +123,35 @@ def test_replay_executor_sharded_bitexact(env):
     np.testing.assert_array_equal(np.asarray(out), ref)
 
 
+def test_replay_parow_executor_sharded_bitexact(env):
+    """Shared-Pa-row replay variant shard_mapped over the curves mesh: the
+    flat step stream stays replicated host metadata; pb == 0 pads mask to
+    the Montgomery one identically on every shard."""
+    ctx, dctx, sharder, pts, s_const, one = env
+    pa_rows, pb_rows, nsteps, e = 5, 3, 4, 2
+    pa = np.stack([np.roll(pts[0, 0], i, axis=-1) for i in range(pa_rows - 1)]
+                  + [one])
+    pbx = np.stack([np.zeros_like(one)]
+                   + [np.roll(pts[0, 1], i, axis=-1)
+                      for i in range(pb_rows - 1)])
+    # steps: (pa, [pb0, pb1]); one short run (pad pb=0) and one pad step
+    flat = np.array([0, 1, 2,
+                     1, 2, 0,
+                     3, 1, 1,
+                     pa_rows - 1, 0, 0], np.int32)
+    ref = np.asarray(pallas_ops.make_replay_parow_executor(
+        ctx, B, pa_rows, pb_rows, nsteps=nsteps, entries_per_step=e,
+        interpret=True)(jnp.asarray(one), jnp.asarray(pa), jnp.asarray(pbx),
+                        jnp.asarray(flat)))
+    run = pallas_ops.make_replay_parow_executor(
+        ctx, B, pa_rows, pb_rows, nsteps=nsteps, entries_per_step=e,
+        interpret=True, sharder=sharder)
+    out = run(sharder.device_put(one), sharder.device_put(pa),
+              sharder.device_put(pbx), jnp.asarray(flat))
+    assert len(out.sharding.device_set) == NDEV
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
 def test_replay_resident_executor_sharded_bitexact(env):
     """VMEM-resident-slab replay variant shard_mapped over the curves mesh:
     the slab (like every residue plane) is batch-sharded; idx stays

@@ -241,6 +241,62 @@ def test_replay_kernel_value_parity(entries_per_step):
         assert got[i] % n == ref[i] % n, i
 
 
+@pytest.mark.parametrize("entries_per_step", [4, 8])
+def test_replay_parow_kernel_value_parity(entries_per_step):
+    """Shared-Pa-row replay kernel (one Pa + E Pb blocks per grid step,
+    pb == 0 pads masked to the Montgomery one in kernel) vs a sequential
+    jnp reference, including the host step-packing (runs of equal Pa split
+    into E-entry steps)."""
+    import random
+    import jax.numpy as jnp
+    from tpu_ecm.limbs import jnp_ops, layout, pallas_ops
+    from tpu_ecm.stage2 import exec as s2exec
+    n = 2545580083 * 2551628647
+    ctx = params.make_monty(n)
+    dctx = jnp_ops.device_ctx(ctx)
+    p = ctx.p
+    b = 128
+    rng = random.Random(11)
+    PA, PB, T = 17, 9, 37          # deliberately not a multiple of E
+
+    def mk(rows):
+        return np.stack([layout.pack_batch(
+            [rng.randrange(n) for _ in range(b)], p.w, p.nw)
+            for _ in range(rows)])
+
+    pa, pb = mk(PA), mk(PB)
+    pa[-1] = layout.broadcast_int(ctx.r_mod_n, p.w, p.nw, b)
+    pb[0] = 0
+    acc0 = layout.pack_batch([rng.randrange(n) for _ in range(b)], p.w, p.nw)
+    # v-sorted entries with runs of unequal length (incl. length-1 runs)
+    pav = np.sort(np.array([rng.randrange(PA - 1) for _ in range(T)]))
+    idx = np.stack([pav,
+                    np.array([rng.randrange(1, PB) for _ in range(T)])],
+                   1).astype(np.int32)
+    acc = jnp.asarray(acc0)
+    for v, u in idx.tolist():
+        acc = jnp_ops.mulmod(acc, jnp.asarray(pa[v] - pb[u]), dctx)
+    ref = layout.unpack_batch(np.asarray(acc), p.w)
+
+    e = entries_per_step
+    steps = s2exec.Stage2Runner._pack_parow_steps(idx, e)
+    # entry conservation: every (pa, pb) entry lands in a step with its row
+    got_entries = sorted((int(s[0]), int(u))
+                         for s in steps for u in s[1:] if u != 0)
+    assert got_entries == sorted(map(tuple, idx.tolist()))
+    nsteps = steps.shape[0] + 2    # exercise whole-step padding too
+    pad = np.zeros((2, 1 + e), np.int32)
+    pad[:, 0] = PA - 1
+    flat = np.concatenate([steps, pad], axis=0).reshape(-1)
+    run = pallas_ops.make_replay_parow_executor(
+        ctx, b, PA, PB, nsteps=nsteps, entries_per_step=e, interpret=True)
+    got = layout.unpack_batch(np.asarray(
+        run(jnp.asarray(acc0), jnp.asarray(pa), jnp.asarray(pb),
+            jnp.asarray(flat))), p.w)
+    for i in range(b):
+        assert got[i] % n == ref[i] % n, i
+
+
 def test_replay_resident_kernel_value_parity():
     """VMEM-resident replay kernel (manual-DMA Pb slab + dynamic row index)
     vs the sequential jnp reference — same contract as the gather kernel,

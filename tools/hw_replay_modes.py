@@ -1,11 +1,14 @@
 """Measure the stage-2 replay kernel modes back-to-back on real TPU:
 
-  gather   — one Pb row DMA'd from HBM per entry (round-1 kernel)
+  gather   — one Pa + one Pb row DMA'd from HBM per entry (round-1 kernel)
   resident — Pb row slabs VMEM-resident, entries partitioned by slab
              (pallas_ops.make_replay_resident_executor)
+  parow    — ONE shared Pa row + E Pb rows per grid step (round-3 kernel,
+             pallas_ops.make_replay_parow_executor): exploits the v-sort so
+             the per-entry Pa traffic and half the DMA descriptors vanish
 
 Runs the full flagship stage-2 (416-bit, B=2048, B1=1e6, B2=1e8) per mode:
-warm pass to compile, then best-of-N steady passes.  Also asserts the two
+warm pass to compile, then best-of-N steady passes.  Also asserts all
 modes produce IDENTICAL canonical accumulators (hardware bit-exactness).
 
 Outcome decides the default in stage2/exec.py::Stage2Runner._replay_mode
@@ -75,9 +78,12 @@ def stage2_pass(cache_dict):
 results = {}
 # (mode, entries_per_step, replay_block): block only matters for resident
 # (it sets how many entries amortize one slab DMA); "" = runner default
-for mode, e, blk in (("gather", 8, ""), ("resident", 8, ""),
-                     ("resident", 8, "65536"), ("resident", 16, ""),
-                     ("resident", 4, ""), ("gather", 16, "")):
+SWEEP = (("gather", 16, ""), ("parow", 16, ""), ("parow", 32, ""),
+         ("parow", 8, ""), ("parow", 64, ""))
+if os.environ.get("RM_ALL"):
+    SWEEP += (("gather", 8, ""), ("resident", 8, ""),
+              ("resident", 8, "65536"), ("resident", 16, ""))
+for mode, e, blk in SWEEP:
     os.environ["TPU_ECM_REPLAY"] = mode
     os.environ["TPU_ECM_REPLAY_E"] = str(e)
     if blk:
@@ -93,16 +99,16 @@ for mode, e, blk in (("gather", 8, ""), ("resident", 8, ""),
               f"{str(exc)[:300]}", flush=True)
         continue
     steady = min(stage2_pass(ec)[0] for _ in range(REPS))
-    if e == 8 and not blk:
+    if (mode, e) in (("gather", 16), ("parow", 16)):
         results[mode] = (steady, res)
     print(f"{tag}: warm={warm:.1f}s steady={steady:.2f}s "
           f"({steady / entries * 1e6:.2f} us/entry incl. init/inv)",
           flush=True)
 
 if len(results) == 2:
-    same = results["gather"][1].acc == results["resident"][1].acc
+    same = results["gather"][1].acc == results["parow"][1].acc
     print(f"acc bit-exact across modes: {same}")
-    g, r = results["gather"][0], results["resident"][0]
-    print(f"resident vs gather stage-2 wall: {r:.2f}s vs {g:.2f}s "
+    g, r = results["gather"][0], results["parow"][0]
+    print(f"parow vs gather stage-2 wall: {r:.2f}s vs {g:.2f}s "
           f"({(g - r) / g * 100:+.1f}%)")
     sys.exit(0 if same else 1)

@@ -280,23 +280,28 @@ def tape_from_digits(digits: np.ndarray) -> Tuple[np.ndarray, int]:
 
 
 def cached_stage1_tape(primes: Sequence[int], b1: int,
-                       cache_dir: Optional[str], w: int = DEFAULT_W
-                       ) -> Tuple[np.ndarray, int]:
-    """Disk-cached (tape, leading digit) for the whole of stage 1.  Unlike
-    the PRAC tapes there is no per-chunk split: the scalar couples all primes
-    <= B1, so the tape is one artifact keyed by (B1, w).  Chunked checkpoint
-    parity with the reference is therefore not available in Edwards mode
-    (documented in PARITY.md)."""
+                       cache_dir: Optional[str], w: int = DEFAULT_W,
+                       include_two: bool = True,
+                       tag: str = "") -> Tuple[np.ndarray, int]:
+    """Disk-cached (tape, leading digit) for a stage-1 prime set.  The
+    scalar factorizes over prime chunks exactly like the PRAC schedule
+    (s = s_chunk0 * s_chunk1 * ...), so the driver replays one tape per
+    chunk with the window table rebuilt from the chunk-boundary point —
+    giving Edwards mode the same per-1e8-primes checkpoint cadence as the
+    reference (/root/reference/ecm.c:1236-1312).  `tag` keys the chunk
+    (empty = whole-B1 tape); `include_two` adds the 2^k part (first chunk
+    only)."""
+    path = None
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
-        path = os.path.join(cache_dir, f"ed_digits_w{w}_{b1}.npy")
+        path = os.path.join(cache_dir, f"ed_digits_w{w}_{b1}{tag}.npy")
         if os.path.exists(path):
             try:
                 return tape_from_digits(np.load(path))
             except (EOFError, OSError, ValueError):
                 pass
-    digits = wnaf_digits(stage1_scalar(primes, b1), w)
-    if cache_dir:
+    digits = wnaf_digits(stage1_scalar(primes, b1, include_two), w)
+    if path:
         tmp = f"{path}.{os.getpid()}.tmp.npy"
         try:
             np.save(tmp, digits)
@@ -307,7 +312,8 @@ def cached_stage1_tape(primes: Sequence[int], b1: int,
 
 
 def build_batch_tables(ctx: MontyCtx, curves: Sequence[EdCurveInit],
-                       w: int = DEFAULT_W):
+                       w: int = DEFAULT_W,
+                       base_pts: Optional[List[Tuple[int, int]]] = None):
     """Window tables for a curve batch, host-side and exact: per lane the
     odd multiples P, 3P, ..., (2^(w-1)-1)P in extended coordinates, all
     Z-normalized with ONE modular inverse for the whole batch (Montgomery's
@@ -317,6 +323,10 @@ def build_batch_tables(ctx: MontyCtx, curves: Sequence[EdCurveInit],
              — here: plain normalized entries as int lists [Tp][B][4]
       cached [Tp, 3, NW, B] packed planes (Y-X, Y+X, 2dT) in Montgomery form
     A Z that shares a factor with n is harvested as a found factor.
+
+    `base_pts` overrides each curve's base point with an affine (x, y)
+    (used at prime-chunk boundaries: the next chunk's table is built from
+    the normalized chunk-boundary accumulator, not from the original base).
     """
     from ..limbs import layout as _layout   # local import: keep host module
     import numpy as _np                     # importable without jax
@@ -324,8 +334,9 @@ def build_batch_tables(ctx: MontyCtx, curves: Sequence[EdCurveInit],
     tp = 1 << (w - 2)
     b = len(curves)
     pts: List[List[tuple]] = []
-    for c in curves:
-        P1 = (c.x0, c.y0, 1, c.x0 * c.y0 % n)
+    for i, c in enumerate(curves):
+        x0, y0 = base_pts[i] if base_pts is not None else (c.x0, c.y0)
+        P1 = (x0, y0, 1, x0 * y0 % n)
         P2 = oracle_dbl(P1, n)
         row = [P1]
         for _ in range(tp - 1):

@@ -443,11 +443,50 @@ class ECMDriver:
                 interpret=self.cfg.pallas_interpret)
         return self._executors[key]
 
+    def _ed_normalize(self, acc, sigmas: List[int], base_idx: int,
+                      bound: int):
+        """Host-normalize the Edwards accumulator at a chunk boundary (ONE
+        batch modinv): returns (base_pts [(x, y)], u, w) with u/w the
+        canonical Montgomery-x projective pair (Z+Y, Z-Y) for the
+        checkpoint record.  A lane whose Z shares a factor with n is a
+        find (harvested like the reference's inversion-failure path,
+        /root/reference/ecm.c:1927-1939); it continues from the identity
+        (0, 1) so batch shapes stay fixed."""
+        from .limbs import layout as _layout
+        ctx = self.ctx
+        n = ctx.n_int
+        arr = np.asarray(acc)
+        xs = _layout.unpack_batch(arr[0], ctx.p.w)
+        ys = _layout.unpack_batch(arr[1], ctx.p.w)
+        zs = _layout.unpack_batch(arr[2], ctx.p.w)
+        xc = [ctx.from_mont_int(v % n) for v in xs]
+        yc = [ctx.from_mont_int(v % n) for v in ys]
+        zc = [ctx.from_mont_int(v % n) for v in zs]
+        invs, fnd = s2exec.host_batch_inverse(ctx, zc, premul=1)
+        for i, f in fnd.items():
+            if f:
+                self._report_factor(f, 1, base_idx + i, sigmas[i], bound)
+        base_pts = []
+        for i in range(len(zc)):
+            if i in fnd:
+                base_pts.append((0, 1))          # identity: find reported
+            else:
+                base_pts.append((xc[i] * invs[i] % n, yc[i] * invs[i] % n))
+        u = [(z + y) % n for z, y in zip(zc, yc)]
+        w = [(z - y) % n for z, y in zip(zc, yc)]
+        return base_pts, u, w
+
     def _run_batch_edwards(self, sigmas: List[int], base_idx: int
                            ) -> List[Tuple[int, int, int]]:
         """Stage 1 on a=-1 twisted Edwards curves (curve/edwards.py), then
         the unchanged Montgomery stage 2 on the birationally equivalent
-        curve via (U : W) = (Z+Y : Z-Y) and (A+2)/4 = 1/(1+d)."""
+        curve via (U : W) = (Z+Y : Z-Y) and (A+2)/4 = 1/(1+d).
+
+        Stage 1 runs chunked: the scalar factorizes over prime chunks
+        (s = s_c0 * s_c1 * ...), each chunk replays its own wNAF tape with
+        the window table rebuilt from the normalized chunk-boundary point,
+        and checkpoint.txt is appended per chunk — the same cadence as the
+        Suyama path and the reference (/root/reference/ecm.c:1236-1312)."""
         from .curve import edops, edwards
         from .limbs import layout as _layout
         cfg, ctx = self.cfg, self.ctx
@@ -467,42 +506,59 @@ class ECMDriver:
                 raise RuntimeError(
                     "curve construction kept hitting gcd factors; "
                     "input has many small factors — divide them out first")
-        # window tables (may harvest a factor from a non-invertible Z)
-        try:
-            pts, cached = edwards.build_batch_tables(ctx, curves)
-        except suyama.FactorFoundDuringBuild as e:
-            if e.factor:
-                self._report_factor(e.factor, 0, base_idx, e.sigma, cfg.b1)
-            raise RuntimeError(
-                "window table hit a factor of n; rerun with fresh sigmas "
-                "or divide the reported factor out") from e
-        # the whole prime set <= B1 at once: the Edwards scalar couples all
-        # primes, so there is no per-chunk checkpoint boundary in this mode
-        primes = np.concatenate([c[2] for c in
-                                 self.stream.chunks(0, cfg.b1)])
-        tape, lead = edwards.cached_stage1_tape(primes, cfg.b1,
-                                                cfg.cache_dir)
-        acc0 = edwards.init_accumulator(ctx, pts, lead)
         sigmas_list = [c.sigma for c in curves]
-        if cfg.sharder is not None:
-            acc0 = cfg.sharder.device_put(acc0)
-            cached_dev = cfg.sharder.device_put(cached)
-        else:
-            acc0, cached_dev = acc0, cached
         self.timings["build"] = self.timings.get("build", 0) + time.time() - t0
 
         t0 = time.time()
-        run = self._ed_runner(len(sigmas), cached.shape[0])
-        acc = run(acc0, tape, cached_dev)
-        ndbl = int(np.count_nonzero(tape[:, 0] <= 1))
-        nadd = int(np.count_nonzero((tape[:, 0] == 2) | (tape[:, 0] == 3)))
-        self.counters["ptdups"] = self.counters.get("ptdups", 0) + ndbl + 1
-        self.counters["ptadds"] = (self.counters.get("ptadds", 0) + nadd
-                                   + cached.shape[0] - 1)
+        chunk_list = list(self.stream.chunks(0, cfg.b1))
+        acc = None
+        base_pts = None          # None = the curves' own base points
+        nprimes = 0
+        for ci, (lo, hi, primes) in enumerate(chunk_list):
+            is_final = ci == len(chunk_list) - 1
+            tag = "" if len(chunk_list) == 1 else f"_c{lo}"
+            tape, lead = edwards.cached_stage1_tape(
+                primes, cfg.b1, cfg.cache_dir, include_two=(ci == 0),
+                tag=tag)
+            # (re)build window tables from the chunk's start point (may
+            # harvest a factor from a non-invertible Z)
+            try:
+                pts, cached = edwards.build_batch_tables(
+                    ctx, curves, base_pts=base_pts)
+            except suyama.FactorFoundDuringBuild as e:
+                if e.factor:
+                    self._report_factor(e.factor, 1 if ci else 0, base_idx,
+                                        e.sigma, cfg.b1)
+                raise RuntimeError(
+                    "window table hit a factor of n; rerun with fresh "
+                    "sigmas or divide the reported factor out") from e
+            acc0 = edwards.init_accumulator(ctx, pts, lead)
+            if cfg.sharder is not None:
+                acc0 = cfg.sharder.device_put(acc0)
+                cached_dev = cfg.sharder.device_put(cached)
+            else:
+                cached_dev = cached
+            run = self._ed_runner(len(sigmas), cached.shape[0])
+            acc = run(acc0, tape, cached_dev)
+            ndbl = int(np.count_nonzero(tape[:, 0] <= 1))
+            nadd = int(np.count_nonzero((tape[:, 0] == 2) | (tape[:, 0] == 3)))
+            self.counters["ptdups"] = self.counters.get("ptdups", 0) + ndbl + 1
+            self.counters["ptadds"] = (self.counters.get("ptadds", 0) + nadd
+                                       + cached.shape[0] - 1)
+            nprimes += int(np.count_nonzero((primes < cfg.b1)
+                                            & (primes > 2))) + (ci == 0)
+            if not is_final:
+                # mid-stage-1 checkpoint + next chunk's table base
+                base_pts, u_c, w_c = self._ed_normalize(
+                    acc, sigmas_list, base_idx,
+                    min(int(primes[-1]), cfg.b1))
+                self._check_batch(w_c, sigmas_list, 1,
+                                  min(int(primes[-1]), cfg.b1), base_idx)
+                self._write_save(cfg.checkpoint_path, sigmas_list, u_c, w_c,
+                                 min(int(primes[-1]), cfg.b1),
+                                 program="AVX-ECM-ED")
         self.counters["numprimes"] = (self.counters.get("numprimes", 0)
-                                      + int(np.count_nonzero(
-                                          (primes < cfg.b1) & (primes > 2)))
-                                      + 1)
+                                      + nprimes)
         # Montgomery handoff
         import jax.numpy as jnp
         u, w = edops.to_montgomery_pair(acc, self.dctx)
@@ -514,8 +570,9 @@ class ECMDriver:
         self.timings["stage1"] = (self.timings.get("stage1", 0)
                                   + time.time() - t0)
         if cfg.verbose >= 2:
-            print(f"Stage 1 (edwards) completed, {nadd} window-adds, "
-                  f"{ndbl} doublings")
+            print(f"Stage 1 (edwards) completed, "
+                  f"{self.counters.get('ptadds', 0)} window-adds, "
+                  f"{self.counters.get('ptdups', 0)} doublings")
         # the identity mod p shows as X=0 (and (0,-1) too); y=1 shows as W=0
         accX = [ctx.from_mont_int(v % ctx.n_int) for v in
                 _layout.unpack_batch(np.asarray(acc[0]), ctx.p.w)]
@@ -608,6 +665,65 @@ class ECMDriver:
             p = q
         return out
 
+    def _iter_pairmaps(self, sp):
+        """Yield each stage-2 chunk's pairmap, planning (sieve + pair) one
+        chunk AHEAD on a background thread so the host planner overlaps the
+        device replay of the previous chunk — the TPU analog of the
+        reference overlapping thread 0's pair() with the other threads'
+        compute (/root/reference/ecm.c:1449-1459).  At huge B2 (hundreds of
+        1e8-prime chunks) serial planning would leave the chip idle between
+        chunks; here the only exposed cost is recorded in
+        timings['stage2_plan_wait'].  Cumulative sieve/pair wall (whether
+        overlapped or not) lands in timings['stage2_sieve'/'stage2_pair']
+        so the host-planning share of stage 2 is always measurable."""
+        import concurrent.futures as _cf
+        bounds = self._stage2_chunk_bounds()
+        # a dedicated stream: the planner thread must not race the driver's
+        # chunk cache (PrimeStream.load mutates self.primes)
+        stream = PrimeStream(self.stream.chunk)
+        timings = self.timings
+
+        def make(lo: int, hi: int):
+            t0 = time.time()
+            primes = stream.load(lo, hi + 1000 if hi == self.b2 else hi)
+            t1 = time.time()
+            cached = s2plan.pair(sp, primes, lo, hi,
+                                 verbose=self.cfg.verbose >= 2)
+            t2 = time.time()
+            timings["stage2_sieve"] = (timings.get("stage2_sieve", 0)
+                                       + t1 - t0)
+            timings["stage2_pair"] = timings.get("stage2_pair", 0) + t2 - t1
+            return cached
+
+        pool = _cf.ThreadPoolExecutor(max_workers=1,
+                                      thread_name_prefix="s2plan")
+        futs: Dict[int, object] = {}
+
+        def ensure(i: int):
+            if (0 <= i < len(bounds) and i not in futs
+                    and bounds[i] not in self._pairmaps):
+                futs[i] = pool.submit(make, *bounds[i])
+
+        try:
+            ensure(0)
+            for i, (lo, hi) in enumerate(bounds):
+                ensure(i + 1)
+                cached = self._pairmaps.get((lo, hi))
+                if cached is None:
+                    t0 = time.time()
+                    cached = futs.pop(i).result()
+                    timings["stage2_plan_wait"] = (
+                        timings.get("stage2_plan_wait", 0) + time.time() - t0)
+                    if (self._pairmap_entries + cached[0].size
+                            <= self._pairmap_cap):
+                        self._pairmaps[(lo, hi)] = cached
+                        self._pairmap_entries += cached[0].size
+                yield cached
+        finally:
+            for f in futs.values():
+                f.cancel()
+            pool.shutdown(wait=False)
+
     def _run_stage2(self, pts0, s_const, sigmas: List[int], base_idx: int,
                     ops=None):
         cfg, ctx = self.cfg, self.ctx
@@ -627,20 +743,7 @@ class ECMDriver:
                                            + time.time() - t0)
             t0 = time.time()
             s2_pairs = s2_primes = 0
-            for lo, hi in self._stage2_chunk_bounds():
-                cached = self._pairmaps.get((lo, hi))
-                if cached is None:
-                    # sieve + plan only on a cache miss: from the second
-                    # curve batch on, both are skipped entirely
-                    primes = self.stream.load(
-                        lo, hi + 1000 if hi == self.b2 else hi)
-                    cached = s2plan.pair(sp, primes, lo, hi,
-                                         verbose=cfg.verbose >= 2)
-                    if (self._pairmap_entries + cached[0].size
-                            <= self._pairmap_cap):
-                        self._pairmaps[(lo, hi)] = cached
-                        self._pairmap_entries += cached[0].size
-                map_v, map_u, amin0, stats = cached
+            for map_v, map_u, amin0, stats in self._iter_pairmaps(sp):
                 s2_pairs += stats["pairs"]
                 s2_primes += stats["primes"]
                 runner.run_chunk(map_v, map_u, amin0)
@@ -747,7 +850,9 @@ def resume_stage2(path: str, b2: int, *,
                       "~/.cache/tpu_ecm"),
                   force_no_mersenne: bool = False,
                   use_pallas: Optional[bool] = None,
-                  prime_chunk: Optional[int] = None) -> RunResult:
+                  prime_chunk: Optional[int] = None,
+                  batch: Optional[int] = None,
+                  sharder: Optional[object] = None) -> RunResult:
     """Run stage 2 (only) from a stage-1 savefile — the ecosystem workflow
     the reference delegates to `ecm -resume save_b1.txt`
     (/root/reference/README.md:8-10).  Works with files written by this
@@ -755,6 +860,14 @@ def resume_stage2(path: str, b2: int, *,
     the curve constant (A+2)/4 is rebuilt from sigma and the saved X, Z are
     lifted back into Montgomery form.  Useful to push a batch to a larger
     B2 without redoing stage 1.
+
+    Records are processed in device-sized batch groups (default: the same
+    per-chip VMEM sweet spot a fresh run uses, times the sharder's device
+    count), so a file with tens of thousands of records neither blows the
+    VMEM budget nor idles all but one chip; pairmaps and compiled executors
+    are planned/built once and reused across groups, and factor finds are
+    identical to a single-group run for any batch/sharding (the golden-
+    sweep invariant).
     """
     with open(path) as f:
         recs = list(savefile.parse_records(f))
@@ -781,73 +894,70 @@ def resume_stage2(path: str, b2: int, *,
                     cache_dir=cache_dir, force_no_mersenne=force_no_mersenne,
                     use_pallas=use_pallas, prime_chunk=prime_chunk,
                     save_b1_path=None, checkpoint_path=None,
-                    stop_on_factor=False)
+                    stop_on_factor=False, sharder=sharder)
     d = ECMDriver(cfg)
     if d._prp_input:
         # a prime (or prime-power-base) input has nothing to resume
         return d.run()
     ctx = d.ctx
-    if d.use_pallas:
-        # pad to full lane tiles by repeating the last record (duplicate
-        # curves produce duplicate hits, deduped by (factor, sigma))
-        want = ((len(recs) + 127) // 128) * 128
-        recs = recs + [recs[-1]] * (want - len(recs))
-    sigmas = [r.sigma for r in recs]
+    ndev = sharder.n if sharder is not None else 1
+    if batch is None:
+        if d.use_pallas:
+            if d.engine == "rns":
+                from .limbs import rns_exec
+                per_dev = rns_exec.default_batch(d._rns_host)
+            else:
+                from .limbs import pallas_ops
+                per_dev = pallas_ops.default_batch(d.ctx)
+            batch = per_dev * ndev
+        else:
+            batch = len(recs)
+    # round the group to full 128-lane tiles per device on TPU (sharded CPU
+    # runs only need equal per-device shards)
+    q = 128 * ndev if d.use_pallas else (ndev if sharder is not None else 1)
+    batch = max(q, (batch // q) * q)
+    sigmas_all = [r.sigma for r in recs]
     if verbose:
         print(f"resuming {len(recs)} curves from {path} "
-              f"(B1={b1}) into stage 2 to B2={b2}")
-    t0 = time.time()
-    consts = [suyama.build_one_curve(ctx, s).s_mont for s in sigmas]
-    s2ops = None
-    if d.engine == "rns":
-        # large-moduli resume rides the same RNS stage-2 path as a fresh
-        # run (fixed sigma gives identical finds on either engine)
-        import jax.numpy as _jnp
+              f"(B1={b1}) into stage 2 to B2={b2}"
+              + (f" in groups of {batch}" if len(recs) > batch else ""))
 
-        from .limbs import rns_exec
-        h = d._rns_host
-        pts_np, sc_np = rns_exec.init_state(
-            h, [r.x % ctx.n_int for r in recs],
-            [r.z % ctx.n_int for r in recs],
-            [ctx.from_mont_int(s) for s in consts])
-        state = _stage1.Stage1State(pts=_jnp.asarray(pts_np),
-                                    s_const=_jnp.asarray(sc_np))
-        s2ops = rns_exec.RnsOps(h)
-    else:
-        xs_m = [ctx.to_mont_int(r.x % ctx.n_int) for r in recs]
-        zs_m = [ctx.to_mont_int(r.z % ctx.n_int) for r in recs]
-        state = _stage1.init_state(ctx, xs_m, zs_m, consts)
-    d.timings["build"] = time.time() - t0
-    # leftover stage-1 factors first (gcd of the saved Z)
-    d._check_batch([r.z for r in recs], sigmas, 1, b1, 0)
-
-    t0 = time.time()
-    sp = s2plan.make_stage2_params(b1, b2)
-    runner = s2exec.Stage2Runner(ctx, d.dctx, sp, state.pts[0],
-                                 state.s_const, b1, verbose=verbose >= 2,
-                                 use_pallas=d.use_pallas,
-                                 executor_cache=d._s2_executors, ops=s2ops)
-    runner.init()
-    d.timings["stage2_init"] = time.time() - t0
-    t0 = time.time()
-    s2_pairs = s2_primes = 0
-    for lo, hi, primes in d.stream.chunks(b1, b2):
-        map_v, map_u, amin0, stats = s2plan.pair(
-            sp, primes, lo, min(hi, b2), verbose=verbose >= 2)
-        s2_pairs += stats["pairs"]
-        s2_primes += stats["primes"]
-        runner.run_chunk(map_v, map_u, amin0)
-    res = runner.result()
-    d.timings["stage2"] = time.time() - t0
-    if verbose >= 1 and s2_primes:
-        print(f"stage 2: {s2_pairs} pairs from {s2_primes} primes "
-              f"(ratio = {s2_pairs / s2_primes:.2f})")
-    for k in ("paired", "ptadds", "ptdups", "numinv"):
-        d.counters[k] = getattr(res, k)
-    for i, f in res.factors.items():
-        if f:
-            d._report_factor(f, 2, i, sigmas[i], b2)
-    d._check_batch(res.acc, sigmas, 2, b2, 0)
+    import jax.numpy as _jnp
+    for base in range(0, len(recs), batch):
+        group = recs[base:base + batch]
+        # pad to full lane tiles by repeating the last record (duplicate
+        # curves produce duplicate hits, deduped by (factor, sigma))
+        want = ((len(group) + q - 1) // q) * q
+        group = group + [group[-1]] * (want - len(group))
+        sigmas = [r.sigma for r in group]
+        t0 = time.time()
+        consts = [suyama.build_one_curve(ctx, s).s_mont for s in sigmas]
+        s2ops = None
+        if d.engine == "rns":
+            # large-moduli resume rides the same RNS stage-2 path as a
+            # fresh run (fixed sigma gives identical finds on any engine)
+            from .limbs import rns_exec
+            h = d._rns_host
+            pts_np, sc_np = rns_exec.init_state(
+                h, [r.x % ctx.n_int for r in group],
+                [r.z % ctx.n_int for r in group],
+                [ctx.from_mont_int(s) for s in consts])
+            if sharder is not None:
+                pts = sharder.device_put_state(pts_np)
+                sc = sharder.device_put_plane(sc_np)
+            else:
+                pts, sc = _jnp.asarray(pts_np), _jnp.asarray(sc_np)
+            state = _stage1.Stage1State(pts=pts, s_const=sc)
+            s2ops = rns_exec.RnsOps(h, sharder=sharder)
+        else:
+            xs_m = [ctx.to_mont_int(r.x % ctx.n_int) for r in group]
+            zs_m = [ctx.to_mont_int(r.z % ctx.n_int) for r in group]
+            state = _stage1.init_state(ctx, xs_m, zs_m, consts,
+                                       sharder=sharder)
+        d.timings["build"] = d.timings.get("build", 0) + time.time() - t0
+        # leftover stage-1 factors first (gcd of the saved Z)
+        d._check_batch([r.z for r in group], sigmas, 1, b1, base)
+        d._run_stage2(state.pts[0], state.s_const, sigmas, base, ops=s2ops)
     return RunResult(n=n, work_modulus=ctx.n_int, factors=d.factors,
                      curves_run=len(recs), stage1_residues=[],
                      timings=dict(d.timings), counters=dict(d.counters))

@@ -767,6 +767,104 @@ def make_replay_executor(ctx: MontyCtx, batch: int, pa_rows: int,
         out_specs=P(None, ax))
 
 
+def make_replay_parow_executor(ctx: MontyCtx, batch: int, pa_rows: int,
+                               pb_rows: int, nsteps: int,
+                               entries_per_step: int = 16,
+                               interpret: bool = False, sharder=None):
+    """Replay variant exploiting the v-sort: each grid step's E entries share
+    ONE Pa row (the host packs runs of equal global giant-step index into
+    steps), so a step fetches 1 Pa block + E Pb blocks instead of the gather
+    kernel's E Pa + E Pb — the per-entry Pa HBM traffic and half the DMA
+    descriptors vanish.  With ~100+ pairs landing on each giant step at
+    production bounds (pairs/2L per window, /root/reference/ecm.c:2448-2532),
+    the packing waste (each Pa run padded to a multiple of E) is a few
+    percent.
+
+    run(acc [NW,B], pa_ext [pa_rows,NW,B], pbx [pb_rows,NW,B],
+        idx [(1+E)*nsteps] int32) -> acc.
+    idx per step: [pa_row, pb_0 .. pb_{E-1}]; pb == 0 marks a pad entry and
+    is masked to the Montgomery one IN KERNEL (pbx[0] is the zero row, but
+    pa - 0 would be pa, not a no-op — unlike the gather kernel, pads here
+    share the step's real Pa row).  Whole pad steps use pa_row = pa_rows-1.
+    """
+    p = ctx.p
+    nw = p.nw
+    bs = _local_batch(batch, sharder) // LANE
+    E = entries_per_step
+    one_digits = [int(x) for x in
+                  _layout.int_to_digits(ctx.r_mod_n, p.w, nw)]
+
+    def kernel(idx_ref, *refs):
+        pa_row = refs[0]
+        pb_rows_in = refs[1:1 + E]
+        acc_in, acc_out, acc_scr = refs[1 + E], refs[2 + E], refs[-1]
+        mulmod, _, norm1 = _make_arith(ctx)
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc_scr[...] = acc_in[...]
+
+        one_tile = jnp.stack(
+            [jnp.full((bs, LANE), d, jnp.int32) for d in one_digits])
+        pa = pa_row[0]
+        diffs = []
+        for k in range(E):
+            u = idx_ref[(1 + E) * i + 1 + k]
+            d = norm1(pa - pb_rows_in[k][0])
+            diffs.append(jnp.where(u == 0, one_tile, d))
+        while len(diffs) > 1:
+            diffs = ([mulmod(diffs[j], diffs[j + 1], pre=True)
+                      for j in range(0, len(diffs) - 1, 2)]
+                     + ([diffs[-1]] if len(diffs) % 2 else []))
+        acc_scr[...] = mulmod(acc_scr[...], diffs[0], pre=True)
+
+        @pl.when(i == nsteps - 1)
+        def _():
+            acc_out[...] = acc_scr[...]
+
+    gather_specs = [pl.BlockSpec(
+        (1, nw, bs, LANE), lambda i, idx: (idx[(1 + E) * i], 0, 0, 0))]
+    for k in range(E):
+        gather_specs.append(pl.BlockSpec(
+            (1, nw, bs, LANE),
+            lambda i, idx, k=k: (idx[(1 + E) * i + 1 + k], 0, 0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsteps,),
+        in_specs=gather_specs + [
+            pl.BlockSpec((nw, bs, LANE), lambda i, idx: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nw, bs, LANE), lambda i, idx: (0, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((nw, bs, LANE), jnp.int32)],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nw, bs, LANE), jnp.int32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    def body(acc, pa_ext, pbx, idx):
+        bl = acc.shape[-1]
+        acc4 = acc.reshape(nw, bl // LANE, LANE)
+        pa4 = pa_ext.reshape(pa_rows, nw, bl // LANE, LANE)
+        pb4 = pbx.reshape(pb_rows, nw, bl // LANE, LANE)
+        out = call(idx, pa4, *([pb4] * E), acc4)
+        return out.reshape(nw, bl)
+
+    ax = sharder.axis_name if sharder is not None else None
+    return _jit_maybe_sharded(
+        body, sharder,
+        in_specs=(P(None, ax), P(None, None, ax), P(None, None, ax),
+                  P(None)),
+        out_specs=P(None, ax))
+
+
 def make_replay_resident_executor(ctx: MontyCtx, batch: int, pa_rows: int,
                                   slab_rows: int, t_block: int = 2048,
                                   entries_per_step: int = 8,

@@ -288,6 +288,14 @@ class DigitOps:
             t_block=t_block, entries_per_step=entries_per_step,
             sharder=self.sharder, interpret=self.interpret)
 
+    def make_replay_parow(self, b, pa_rows, pb_rows, nsteps,
+                          entries_per_step):
+        from ..limbs import pallas_ops
+        return pallas_ops.make_replay_parow_executor(
+            self.ctx, b, pa_rows=pa_rows, pb_rows=pb_rows, nsteps=nsteps,
+            entries_per_step=entries_per_step, sharder=self.sharder,
+            interpret=self.interpret)
+
 
 # ---------------------------------------------------------------------------
 # orchestrator
@@ -603,11 +611,21 @@ class Stage2Runner:
     # entry partitioning costs more than the double-buffered HBM gathers
     # save); TPU_ECM_REPLAY=resident remains for re-evaluation at other
     # geometries.
+    # replay-kernel mode decision (hardware A/B, tools/hw_replay_modes.py,
+    # 2026-08-19 round 3): gather E=16 4.11 us/entry; parow (shared-Pa-row
+    # steps) is bit-exact but 4.26-5.39 us/entry (best at E=8) — the v-sort
+    # Pa redundancy is NOT the gather kernel's bottleneck (E=32 ~ E=16 for
+    # parow rules out per-step fixed cost too; the residual is per-DMA
+    # latency on the scalar-prefetched row gathers).  resident was 10%
+    # slower in round 2.  Default: gather.
     def _replay_mode(self) -> str:
         mode = os.environ.get("TPU_ECM_REPLAY", "gather")
         if (mode == "resident" and self.use_pallas
                 and hasattr(self.ops, "make_replay_resident")):
             return "resident"
+        if (mode == "parow" and self.use_pallas
+                and hasattr(self.ops, "make_replay_parow")):
+            return "parow"
         return "gather"
 
     def _pbx_slabs(self):
@@ -674,11 +692,57 @@ class Stage2Runner:
                 self.acc = replay(self.acc, pa_inv_ext, slab,
                                   jnp.asarray(blk))
 
+    @staticmethod
+    def _pack_parow_steps(idx: np.ndarray, e: int) -> np.ndarray:
+        """[T, 2] v-sorted entries -> [S, 1+E] parow steps: runs of equal
+        Pa row split into ceil(run/E)-step groups, short tails padded with
+        pb = 0 (masked to one in kernel).  Packing efficiency is
+        T / (S*E) — logged by the hardware sweep, ~95% at production
+        bounds (~100+ entries per giant step)."""
+        pa = idx[:, 0].astype(np.int64)
+        pb = idx[:, 1].astype(np.int32)
+        uniq, start, counts = np.unique(pa, return_index=True,
+                                        return_counts=True)
+        nsteps_per = -(-counts // e)
+        total = int(nsteps_per.sum())
+        steps = np.zeros((total, 1 + e), dtype=np.int32)
+        steps[:, 0] = np.repeat(uniq, nsteps_per)
+        ranks = (np.arange(idx.shape[0], dtype=np.int64)
+                 - np.repeat(start, counts))
+        sbase = np.concatenate([[0], np.cumsum(nsteps_per)[:-1]])
+        estep = np.repeat(sbase, counts) + ranks // e
+        steps[estep, 1 + (ranks % e)] = pb
+        return steps
+
+    def _replay_parow(self, pa_inv_ext, idx: np.ndarray):
+        G = self.pa_group
+        e = self._replay_e(16)
+        nsteps = max(1, self.replay_block // e)
+        key = (self._ek, "replay_parow", G + 1, int(self.pbx.shape[0]),
+               nsteps, e)
+        if key not in self._cache:
+            self._cache[key] = self.ops.make_replay_parow(
+                self.b, pa_rows=G + 1, pb_rows=int(self.pbx.shape[0]),
+                nsteps=nsteps, entries_per_step=e)
+        replay = self._cache[key]
+        steps = self._pack_parow_steps(idx, e)
+        for lo in range(0, steps.shape[0], nsteps):
+            blk = steps[lo:lo + nsteps]
+            if blk.shape[0] < nsteps:
+                pad = np.zeros((nsteps - blk.shape[0], 1 + e), np.int32)
+                pad[:, 0] = G
+                blk = np.concatenate([blk, pad], axis=0)
+            self.acc = replay(self.acc, pa_inv_ext, self.pbx,
+                              jnp.asarray(blk.reshape(-1)))
+
     def _replay(self, pa_inv_ext, idx: np.ndarray):
         """acc *= prod (Pa_inv[v] - PbX[u]) over the entry list."""
         G = self.pa_group
-        if self._replay_mode() == "resident":
+        mode = self._replay_mode()
+        if mode == "resident":
             return self._replay_resident(pa_inv_ext, idx)
+        if mode == "parow":
+            return self._replay_parow(pa_inv_ext, idx)
         if self.use_pallas:
             e = self._replay_e(16)    # E=16: 4.12 vs 5.02 us/entry at E=8
             key = (self._ek, "replay", G + 1, int(self.pbx.shape[0]),
