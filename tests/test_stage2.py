@@ -297,6 +297,55 @@ def test_replay_parow_kernel_value_parity(entries_per_step):
         assert got[i] % n == ref[i] % n, i
 
 
+def test_replay_stream_kernel_value_parity():
+    """Manual-DMA-pipeline replay kernel (n_buffers row-pairs in flight,
+    sequential acc chain) vs the sequential jnp reference — same entry/pad
+    contract as the gather kernel."""
+    import random
+    import jax.numpy as jnp
+    from tpu_ecm.limbs import jnp_ops, layout, pallas_ops
+    n = 2545580083 * 2551628647
+    ctx = params.make_monty(n)
+    dctx = jnp_ops.device_ctx(ctx)
+    p = ctx.p
+    b = 128
+    rng = random.Random(5)
+    PA, PB, T = 17, 9, 16
+
+    def mk(rows):
+        return np.stack([layout.pack_batch(
+            [rng.randrange(n) for _ in range(b)], p.w, p.nw)
+            for _ in range(rows)])
+
+    pa, pb = mk(PA), mk(PB)
+    pa[-1] = layout.broadcast_int(ctx.r_mod_n, p.w, p.nw, b)
+    pb[0] = 0
+    acc0 = layout.pack_batch([rng.randrange(n) for _ in range(b)], p.w, p.nw)
+    # v-SORTED pa (the kernel re-fetches Pa only on row change), runs of
+    # unequal length, plus trailing pad entries
+    pav = np.sort(np.array([rng.randrange(PA - 1) for _ in range(T - 2)]))
+    idx = np.stack([np.concatenate([pav, [PA - 1, PA - 1]]),
+                    np.array([rng.randrange(1, PB) for _ in range(T - 2)]
+                             + [0, 0])], 1).astype(np.int32)
+    acc = jnp.asarray(acc0)
+    for v, u in idx.tolist()[:T - 2]:
+        acc = jnp_ops.mulmod(acc, jnp.asarray(pa[v] - pb[u]), dctx)
+    ref = layout.unpack_batch(np.asarray(acc), p.w)
+    run = pallas_ops.make_replay_stream_executor(
+        ctx, b, PA, PB, t_block=T, n_buffers=3, interpret=True)
+    packed = ((idx[:, 0] << 16) | idx[:, 1]).astype(np.int32)
+    # idx[0] = live count: stop after the real entries (the two trailing
+    # pads are never touched — exercises the dynamic loop bound); also
+    # run with count = T to check pads multiply by one
+    for count in (T - 2, T):
+        flat = np.concatenate([[np.int32(count)], packed])
+        got = layout.unpack_batch(np.asarray(
+            run(jnp.asarray(acc0), jnp.asarray(pa), jnp.asarray(pb),
+                jnp.asarray(flat))), p.w)
+        for i in range(b):
+            assert got[i] % n == ref[i] % n, (count, i)
+
+
 def test_replay_resident_kernel_value_parity():
     """VMEM-resident replay kernel (manual-DMA Pb slab + dynamic row index)
     vs the sequential jnp reference — same contract as the gather kernel,

@@ -78,20 +78,29 @@ def stage2_pass(cache_dict):
 results = {}
 # (mode, entries_per_step, replay_block): block only matters for resident
 # (it sets how many entries amortize one slab DMA); "" = runner default
-SWEEP = (("gather", 16, ""), ("parow", 16, ""), ("parow", 32, ""),
-         ("parow", 8, ""), ("parow", 64, ""))
+SWEEP = (("gather", 16, ""), ("stream", 6, ""), ("stream", 4, ""),
+         ("stream", 8, ""), ("stream", 12, ""))
 if os.environ.get("RM_ALL"):
-    SWEEP += (("gather", 8, ""), ("resident", 8, ""),
+    SWEEP += (("gather", 8, ""), ("parow", 16, ""), ("parow", 32, ""),
+              ("parow", 8, ""), ("parow", 64, ""), ("resident", 8, ""),
               ("resident", 8, "65536"), ("resident", 16, ""))
+if os.environ.get("RM_SWEEP"):       # "mode:e[:blk],mode:e[:blk],..."
+    SWEEP = tuple((m, int(e), blk[0] if blk else "")
+                  for m, e, *blk in (c.split(":")
+                                     for c in os.environ["RM_SWEEP"]
+                                     .split(",")))
 for mode, e, blk in SWEEP:
     os.environ["TPU_ECM_REPLAY"] = mode
-    os.environ["TPU_ECM_REPLAY_E"] = str(e)
+    # for stream, e is the buffer depth (NB); otherwise entries/step
+    os.environ["TPU_ECM_REPLAY_E" if mode != "stream"
+               else "TPU_ECM_REPLAY_NB"] = str(e)
     if blk:
         os.environ["TPU_ECM_REPLAY_BLOCK"] = blk
     else:
         os.environ.pop("TPU_ECM_REPLAY_BLOCK", None)
     ec = {}
-    tag = f"{mode} E={e}" + (f" blk={blk}" if blk else "")
+    tag = f"{mode} {'NB' if mode == 'stream' else 'E'}={e}" \
+        + (f" blk={blk}" if blk else "")
     try:
         warm, res = stage2_pass(ec)
     except Exception as exc:
@@ -99,16 +108,16 @@ for mode, e, blk in SWEEP:
               f"{str(exc)[:300]}", flush=True)
         continue
     steady = min(stage2_pass(ec)[0] for _ in range(REPS))
-    if (mode, e) in (("gather", 16), ("parow", 16)):
+    if (mode, e) in (("gather", 16), ("stream", 6)):
         results[mode] = (steady, res)
     print(f"{tag}: warm={warm:.1f}s steady={steady:.2f}s "
           f"({steady / entries * 1e6:.2f} us/entry incl. init/inv)",
           flush=True)
 
 if len(results) == 2:
-    same = results["gather"][1].acc == results["parow"][1].acc
+    same = results["gather"][1].acc == results["stream"][1].acc
     print(f"acc bit-exact across modes: {same}")
-    g, r = results["gather"][0], results["parow"][0]
-    print(f"parow vs gather stage-2 wall: {r:.2f}s vs {g:.2f}s "
+    g, r = results["gather"][0], results["stream"][0]
+    print(f"stream vs gather stage-2 wall: {r:.2f}s vs {g:.2f}s "
           f"({(g - r) / g * 100:+.1f}%)")
     sys.exit(0 if same else 1)

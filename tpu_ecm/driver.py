@@ -73,11 +73,106 @@ class RunConfig:
 
 
 # auto-engine crossover: the digit/VPU path's cost grows ~nw^2 in VPU issue
-# slots while the RNS/MXU path rides the systolic array.  Initial placement
-# from the ARCHITECTURE.md channel-utilization economics (K >= ~85 channels
-# fills the 128-wide MXU tiles); re-measure on hardware with
-# tools/bench_large_moduli.py -both and record in BENCH_NOTES.md.
+# slots while the RNS/MXU path rides the systolic array.  Static fallback
+# placement from the round-2 hardware sweep (tools/bench_large_moduli.py
+# -both); inside [RNS_PROBE_LO, RNS_PROBE_HI] a first-run timing probe
+# per (backend, geometry) decides instead and is persisted next to the
+# compile cache — kernel changes re-place the crossover automatically
+# (the probe file just needs deleting; VERDICT r2 item 8).
 RNS_MIN_BITS = 1400
+RNS_PROBE_LO = 1009   # digit measured clearly ahead through 1008 bits
+RNS_PROBE_HI = 2048   # RNS measured clearly ahead from 2048 bits
+RNS_PROBE_STEPS = 512  # probe tape length (ADD/DUP alternation)
+
+
+def _measured_engine(ctx, rns_host_factory, cache_dir: Optional[str],
+                     verbose: int) -> str:
+    """Timing probe: run a short synthetic ADD/DUP tape on both engines at
+    their default batches and pick the higher curves/throughput.  Result is
+    persisted per (backend, w, nw) in {cache_dir}/engine_probe.json, so the
+    probe (two small Mosaic compiles + two timed runs) happens once per
+    geometry per machine."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    key = f"{jax.default_backend()}_w{ctx.p.w}_nw{ctx.p.nw}"
+    path = None
+    if cache_dir:
+        path = os.path.join(cache_dir, "engine_probe.json")
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            if key in data:
+                return data[key]
+        except (OSError, ValueError):
+            pass
+
+    from .curve import ops as curve_ops
+    from .curve import prac
+    from .limbs import layout, pallas_ops, rns as _rns, rns_exec
+
+    # synthetic tape: DUP/ADD alternation over live slots (work content
+    # matches stage 1's ~1.4 ADD+DUP per prime bit)
+    tape = np.zeros((RNS_PROBE_STEPS, 5), dtype=np.int32)
+    tape[0::2, 0] = curve_ops.OP_DUP
+    tape[0::2, 1:3] = 1, 0
+    tape[1::2, 0] = curve_ops.OP_ADD
+    tape[1::2, 1:5] = [[2, 1, 0, 0]] * (RNS_PROBE_STEPS // 2)
+    rng = np.random.RandomState(7)
+
+    def rand_ints(b):
+        return [int.from_bytes(rng.bytes(ctx.p.nbits // 8 + 8), "little")
+                % ctx.n_int for _ in range(b)]
+
+    def time_run(run, pts, s_const):
+        out = run(pts, tape, s_const)
+        _ = np.asarray(out[0, 0])            # sync (compile + first run)
+        best = float("inf")
+        for _i in range(3):
+            t0 = time.time()
+            out = run(out, tape, s_const)
+            _ = np.asarray(out[0, 0])
+            best = min(best, time.time() - t0)
+        return best
+
+    # digit engine at its default batch
+    bd = pallas_ops.default_batch(ctx)
+    ptsd = np.zeros((curve_ops.NUM_SLOTS, 2, ctx.p.nw, bd), dtype=np.int32)
+    ptsd[0] = [layout.pack_batch(rand_ints(bd), ctx.p.w, ctx.p.nw)
+               for _ in range(2)]
+    sd = jnp.asarray(layout.pack_batch(rand_ints(bd), ctx.p.w, ctx.p.nw))
+    run_d = pallas_ops.make_tape_executor(ctx, bd, chunk=RNS_PROBE_STEPS)
+    td = time_run(run_d, jnp.asarray(ptsd), sd) / bd
+
+    # RNS engine at its default batch
+    h = rns_host_factory()
+    br = rns_exec.default_batch(h)
+    ptsr, sr = rns_exec.init_state(h, rand_ints(br), rand_ints(br),
+                                   rand_ints(br))
+    run_r = rns_exec.make_rns_tape_executor(h, br, chunk=RNS_PROBE_STEPS)
+    tr = time_run(run_r, jnp.asarray(ptsr), jnp.asarray(sr)) / br
+
+    pick = "digit" if td <= tr else "rns"
+    if verbose:
+        print(f"engine probe ({ctx.p.nbits} bits): digit "
+              f"{td * 1e9:.1f} ns/curve/step vs rns {tr * 1e9:.1f} "
+              f"-> {pick}")
+    if path:
+        try:
+            data = {}
+            if os.path.exists(path):
+                with open(path) as f:
+                    data = json.load(f)
+            data[key] = pick
+            tmp = f"{path}.{os.getpid()}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(data, f, indent=1)
+            os.replace(tmp, path)
+        except (OSError, ValueError):
+            pass
+    return pick
 
 
 @dataclasses.dataclass
@@ -210,10 +305,32 @@ class ECMDriver:
             raise ValueError("engine='rns' supports curve_mode='suyama' only")
         self.engine = cfg.engine
         if self.engine == "auto":
-            self.engine = ("rns" if (self.ctx.p.nbits >= RNS_MIN_BITS
-                                     and not self.ctx.is_mersenne
-                                     and cfg.curve_mode == "suyama")
-                           else "digit")
+            if self.ctx.is_mersenne or cfg.curve_mode != "suyama":
+                self.engine = "digit"
+            elif not self.use_pallas:
+                # CPU fallback keeps the static threshold (probing jnp
+                # scans would measure dispatch, not kernels)
+                self.engine = ("rns" if self.ctx.p.nbits >= RNS_MIN_BITS
+                               else "digit")
+            elif self.ctx.p.nbits < RNS_PROBE_LO:
+                self.engine = "digit"
+            elif self.ctx.p.nbits >= RNS_PROBE_HI:
+                self.engine = "rns"
+            else:
+                from .limbs import rns as _rns
+                try:
+                    self.engine = _measured_engine(
+                        self.ctx,
+                        lambda: _rns.make_rns(
+                            self.ctx, cw=_rns.choose_cw(self.ctx.p.nbits)),
+                        cfg.cache_dir, cfg.verbose)
+                except Exception as e:   # probe failure -> static threshold
+                    if cfg.verbose:
+                        print(f"engine probe failed ({e!r}); "
+                              f"using static crossover")
+                    self.engine = ("rns"
+                                   if self.ctx.p.nbits >= RNS_MIN_BITS
+                                   else "digit")
         self._rns_host = None
         if self.engine == "rns":
             from .limbs import rns as _rns

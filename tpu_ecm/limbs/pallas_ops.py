@@ -865,6 +865,128 @@ def make_replay_parow_executor(ctx: MontyCtx, batch: int, pa_rows: int,
         out_specs=P(None, ax))
 
 
+def make_replay_stream_executor(ctx: MontyCtx, batch: int, pa_rows: int,
+                                pb_rows: int, t_block: int = 65536,
+                                n_buffers: int = 8,
+                                interpret: bool = False, sharder=None):
+    """Replay with a MANUAL deep DMA pipeline (the round-3 kernel).
+
+    Measured path to this design (BENCH_NOTES.md round 3): the compute
+    floor is 1.88 us per norm1+mulmod at the flagship geometry
+    (tools/hw_mulmod_floor.py), the auto-pipelined gather kernel runs at
+    4.07 us/entry, and ~13.7 ms PER pallas_call of tunnel/dispatch cost
+    makes small blocks dominate (6.86 us/entry at 4k blocks vs 3.72 at
+    64k).  So: ONE grid step per 64k-entry block; a fori_loop walks the
+    entries with n_buffers Pb rows in flight via explicit
+    make_async_copy; the shared Pa row is re-fetched ONLY when the
+    v-sorted entry stream changes giant step (~1/100+ entries), stalling
+    on that rare fetch instead of paying a per-entry Pa copy.  acc
+    multiplies sequentially — mulmod is VPU-throughput-bound (the
+    dependency chain costs nothing, hw_mulmod_floor 'indep' == 'mul_only').
+
+    run(acc [NW,B], pa_ext [pa_rows,NW,B], pbx [pb_rows,NW,B],
+        idx [1 + t_block] int32: idx[0] = live entry count n (NB <= n <=
+        t_block, the loop runs exactly n iterations — a short tail block
+        costs n mulmods, not t_block), then PACKED (pa << 16 | pb) per
+        entry.  Packing halves SMEM so 128k-entry blocks fit the 1 MB
+        budget.  Pad entries with (pa_rows-1) << 16 | 0: pa_ext[-1] is the
+        Montgomery one and pbx[0] the zero row (gather-kernel convention).
+    """
+    p = ctx.p
+    nw = p.nw
+    bs = _local_batch(batch, sharder) // LANE
+    NB = n_buffers
+    assert t_block >= NB
+    assert pa_rows <= (1 << 16) and pb_rows <= (1 << 16)
+
+    def kernel(idx_ref, pa_hbm, pb_hbm, acc_in, acc_out,
+               pa_buf, pb_buf, acc_scr, pa_sem, pb_sems):
+        mulmod, _, norm1 = _make_arith(ctx)
+        count = idx_ref[0]
+
+        def pb_copy(k, slot):
+            u = jnp.bitwise_and(idx_ref[1 + k], 0xFFFF)
+            return pltpu.make_async_copy(pb_hbm.at[u], pb_buf.at[slot],
+                                         pb_sems.at[slot])
+
+        def pa_copy(k):
+            i = jnp.right_shift(idx_ref[1 + k], 16)
+            return pltpu.make_async_copy(pa_hbm.at[i], pa_buf, pa_sem)
+
+        acc_scr[...] = acc_in[...]
+        cp = pa_copy(0)
+        cp.start()
+        cp.wait()
+        for k in range(NB):                      # static warm-up
+            pb_copy(k, k).start()
+
+        def body(k, _):
+            slot = jax.lax.rem(k, NB)
+
+            # rare: the giant-step row changed — synchronous re-fetch
+            # (~1 per 100+ entries under the v-sort; the stall is noise)
+            @pl.when(jnp.logical_and(
+                k > 0, jnp.right_shift(idx_ref[1 + k], 16)
+                != jnp.right_shift(idx_ref[jnp.maximum(k, 1)], 16)))
+            def _():
+                cpa = pa_copy(k)
+                cpa.start()
+                cpa.wait()
+
+            pb_copy(k, slot).wait()
+            d = norm1(pa_buf[...] - pb_buf[slot])
+            acc_scr[...] = mulmod(acc_scr[...], d, pre=True)
+
+            @pl.when(k + NB < count)
+            def _():
+                pb_copy(k + NB, slot).start()
+
+            return 0
+
+        jax.lax.fori_loop(0, count, body, 0, unroll=False)
+        acc_out[...] = acc_scr[...]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # pa_ext stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),       # pbx stays in HBM
+            pl.BlockSpec((nw, bs, LANE), lambda i, idx: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((nw, bs, LANE), lambda i, idx: (0, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((nw, bs, LANE), jnp.int32),
+                        pltpu.VMEM((NB, nw, bs, LANE), jnp.int32),
+                        pltpu.VMEM((nw, bs, LANE), jnp.int32),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA((NB,))],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nw, bs, LANE), jnp.int32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    def body(acc, pa_ext, pbx, idx):
+        bl = acc.shape[-1]
+        acc4 = acc.reshape(nw, bl // LANE, LANE)
+        pa4 = pa_ext.reshape(pa_rows, nw, bl // LANE, LANE)
+        pb4 = pbx.reshape(pb_rows, nw, bl // LANE, LANE)
+        out = call(idx, pa4, pb4, acc4)
+        return out.reshape(nw, bl)
+
+    ax = sharder.axis_name if sharder is not None else None
+    return _jit_maybe_sharded(
+        body, sharder,
+        in_specs=(P(None, ax), P(None, None, ax), P(None, None, ax),
+                  P(None)),
+        out_specs=P(None, ax))
+
+
 def make_replay_resident_executor(ctx: MontyCtx, batch: int, pa_rows: int,
                                   slab_rows: int, t_block: int = 2048,
                                   entries_per_step: int = 8,

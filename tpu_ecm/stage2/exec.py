@@ -296,6 +296,13 @@ class DigitOps:
             entries_per_step=entries_per_step, sharder=self.sharder,
             interpret=self.interpret)
 
+    def make_replay_stream(self, b, pa_rows, pb_rows, t_block, n_buffers):
+        from ..limbs import pallas_ops
+        return pallas_ops.make_replay_stream_executor(
+            self.ctx, b, pa_rows=pa_rows, pb_rows=pb_rows, t_block=t_block,
+            n_buffers=n_buffers, sharder=self.sharder,
+            interpret=self.interpret)
+
 
 # ---------------------------------------------------------------------------
 # orchestrator
@@ -343,7 +350,9 @@ class Stage2Runner:
         if self.use_pallas and interpret:
             self.pa_group, self.replay_block = 64, 256
         elif self.use_pallas:
-            self.pa_group, self.replay_block = 4096, 16384
+            # 64k-entry replay blocks: ~13.7 ms host dispatch per pallas
+            # call makes block count the first-order stage-2 cost
+            self.pa_group, self.replay_block = 4096, 65536
         else:
             self.pa_group, self.replay_block = 512, 4096
         # env override for the hardware sweep (tools/hw_replay_modes.py):
@@ -611,21 +620,26 @@ class Stage2Runner:
     # entry partitioning costs more than the double-buffered HBM gathers
     # save); TPU_ECM_REPLAY=resident remains for re-evaluation at other
     # geometries.
-    # replay-kernel mode decision (hardware A/B, tools/hw_replay_modes.py,
-    # 2026-08-19 round 3): gather E=16 4.11 us/entry; parow (shared-Pa-row
-    # steps) is bit-exact but 4.26-5.39 us/entry (best at E=8) — the v-sort
-    # Pa redundancy is NOT the gather kernel's bottleneck (E=32 ~ E=16 for
-    # parow rules out per-step fixed cost too; the residual is per-DMA
-    # latency on the scalar-prefetched row gathers).  resident was 10%
-    # slower in round 2.  Default: gather.
+    # replay-kernel mode decision (hardware A/Bs, tools/hw_replay_modes.py,
+    # 2026-08-19 round 3, BENCH_NOTES.md): per-pallas-call dispatch costs
+    # ~13.7 ms through the tunnel, so 64k-entry blocks beat 16k by ~20%
+    # regardless of kernel; at 64k blocks "stream" (manual deep DMA
+    # pipeline, Pa re-fetched on giant-step change, dynamic tail count)
+    # edges "gather" 9.98-10.24 s vs 10.10-10.55 s stage-2 steady and
+    # wastes no tail compute.  parow (shared-Pa auto-pipeline) and
+    # resident (VMEM Pb slabs) measured slower — kept behind the env.
+    # Default: stream.
     def _replay_mode(self) -> str:
-        mode = os.environ.get("TPU_ECM_REPLAY", "gather")
+        mode = os.environ.get("TPU_ECM_REPLAY", "stream")
         if (mode == "resident" and self.use_pallas
                 and hasattr(self.ops, "make_replay_resident")):
             return "resident"
         if (mode == "parow" and self.use_pallas
                 and hasattr(self.ops, "make_replay_parow")):
             return "parow"
+        if (mode == "stream" and self.use_pallas
+                and hasattr(self.ops, "make_replay_stream")):
+            return "stream"
         return "gather"
 
     def _pbx_slabs(self):
@@ -735,6 +749,33 @@ class Stage2Runner:
             self.acc = replay(self.acc, pa_inv_ext, self.pbx,
                               jnp.asarray(blk.reshape(-1)))
 
+    def _replay_stream(self, pa_inv_ext, idx: np.ndarray):
+        G = self.pa_group
+        nb = int(os.environ.get("TPU_ECM_REPLAY_NB", "16"))
+        tb = self.replay_block      # 64k packed entries = 256 KB SMEM
+        key = (self._ek, "replay_stream", G + 1, int(self.pbx.shape[0]),
+               tb, nb)
+        if key not in self._cache:
+            self._cache[key] = self.ops.make_replay_stream(
+                self.b, pa_rows=G + 1, pb_rows=int(self.pbx.shape[0]),
+                t_block=tb, n_buffers=nb)
+        replay = self._cache[key]
+        packed = ((idx[:, 0].astype(np.int64) << 16)
+                  | idx[:, 1].astype(np.int64)).astype(np.int32)
+        for lo in range(0, packed.shape[0], tb):
+            blk = packed[lo:lo + tb]
+            # live count rides as idx[0]: a short tail block runs exactly
+            # count iterations (>= NB for the warm-up pipeline), pads
+            # multiply by one
+            count = max(int(blk.shape[0]), nb)
+            if blk.shape[0] < tb:
+                blk = np.concatenate(
+                    [blk, np.full(tb - blk.shape[0], np.int32(G << 16),
+                                  dtype=np.int32)])
+            blk = np.concatenate([[np.int32(count)], blk])
+            self.acc = replay(self.acc, pa_inv_ext, self.pbx,
+                              jnp.asarray(blk))
+
     def _replay(self, pa_inv_ext, idx: np.ndarray):
         """acc *= prod (Pa_inv[v] - PbX[u]) over the entry list."""
         G = self.pa_group
@@ -743,6 +784,8 @@ class Stage2Runner:
             return self._replay_resident(pa_inv_ext, idx)
         if mode == "parow":
             return self._replay_parow(pa_inv_ext, idx)
+        if mode == "stream":
+            return self._replay_stream(pa_inv_ext, idx)
         if self.use_pallas:
             e = self._replay_e(16)    # E=16: 4.12 vs 5.02 us/entry at E=8
             key = (self._ek, "replay", G + 1, int(self.pbx.shape[0]),
