@@ -132,6 +132,27 @@ def test_stage2_finds_factor(tmp_path):
     assert hit.sigma == 112
 
 
+def test_stage2_noinv_finds_factor(tmp_path, monkeypatch):
+    """TPU_ECM_CROSS=noinv (the reference's inversion-free CROSS_PRODUCT
+    build, /root/reference/ecm.c:2526-2530) through the full driver: the
+    pinned stage-2 hit must still surface from the final-accumulator gcd,
+    and every noinv find must be an inv-mode find (noinv can only LOSE
+    inversion-failure harvests — there are no inversions to fail)."""
+    cfg = _cfg(tmp_path, n=N71, curves=4, b1=300, b2=10000, sigma=110,
+               stop_on_factor=False)
+    res_inv = driver.ECMDriver(cfg).run()
+    monkeypatch.setenv("TPU_ECM_CROSS", "noinv")
+    cfg2 = _cfg(tmp_path / "noinv", n=N71, curves=4, b1=300, b2=10000,
+                sigma=110, stop_on_factor=False)
+    (tmp_path / "noinv").mkdir()
+    res = driver.ECMDriver(cfg2).run()
+    assert any(h.factor == P35 and h.stage == 2 and h.sigma == 112
+               for h in res.factors), res.factors
+    inv_set = {(h.factor, h.stage, h.sigma) for h in res_inv.factors}
+    noinv_set = {(h.factor, h.stage, h.sigma) for h in res.factors}
+    assert noinv_set <= inv_set
+
+
 def test_stage1_residues_match_oracle(tmp_path):
     """M127-style smoke (PR1 config): correctness by residue, not luck —
     residues must equal the int-oracle stage-1 exactly."""

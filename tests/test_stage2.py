@@ -147,6 +147,100 @@ def test_stage2_executor_exact_vs_oracle():
     assert res.paired == int(np.sum(~((map_v == 0) & (map_u == 0))))
 
 
+def test_stage2_noinv_exact_vs_oracle():
+    """Inversion-free CROSS_PRODUCT form (the reference's non-DO_STAGE2_INV
+    build, /root/reference/ecm.c:1861-1866,2526-2530): phases 2+3 with
+    cross='noinv' must produce exactly prod (x_a*z_b - x_b*z_a) mod n over
+    the pairmap entries — the projective cross product, no inversions at
+    all (numinv == 0), same final gcd factor detection power up to z-unit
+    factors."""
+    n = P61
+    b1, b2 = 300, 4000
+    ctx = params.make_monty(n)
+    dctx = jnp_ops.device_ctx(ctx)
+    sigmas = [40, 41, 42, 43]
+    curves = [suyama.build_one_curve(ctx, s) for s in sigmas]
+    dom = oracle.IntDomain(ctx)
+
+    from tpu_ecm.curve import prac
+    s1 = []
+    for c in curves:
+        X, Z, s = c.x_mont, c.z_mont, c.s_mont
+        for _ in range(prac.stage1_powers_of_two(b1)):
+            X, Z = oracle.xdbl_int(dom, X, Z, s)
+        for q in primes_range(3, b1).tolist():
+            q = int(q)
+            k = 1
+            while True:
+                tape = []
+                prac.prac_tape(q, tape)
+                X, Z = oracle.run_tape_int(ctx, tape, X, Z, s)[0]
+                k *= q
+                if k * q >= b1:
+                    break
+        s1.append((X, Z, s))
+
+    p = ctx.p
+    pt = np.zeros((2, p.nw, len(curves)), dtype=np.int32)
+    pt[0] = layout.pack_batch([t[0] for t in s1], p.w, p.nw)
+    pt[1] = layout.pack_batch([t[1] for t in s1], p.w, p.nw)
+    s_const = jnp.asarray(layout.pack_batch([t[2] for t in s1], p.w, p.nw))
+
+    sp = s2plan.make_stage2_params(b1, b2)
+    primes = primes_range(b1, b2 + 1000)
+    map_v, map_u, amin0, _ = s2plan.pair(sp, primes, b1, b2)
+
+    # inverted reference run: acc_inv = prod (x_a/z_a - x_b/z_b), verified
+    # exactly against the affine int oracle by
+    # test_stage2_executor_exact_vs_oracle above
+    runner_i = s2exec.Stage2Runner(ctx, dctx, sp, jnp.asarray(pt), s_const,
+                                   b1, cross="inv")
+    runner_i.init()
+    runner_i.run_chunk(map_v, map_u, amin0)
+    res_i = runner_i.result()
+
+    # noinv run with operand capture: every projective cross product
+    # (x_a*z_b - x_b*z_a) equals the affine difference scaled by z_a*z_b
+    # FOR THE RUN'S OWN representatives, so
+    #     acc_noinv == acc_inv * prod(z_a * z_b)  (mod n)
+    # with the z planes taken from the captured replay operands — this
+    # pins both the arithmetic identity and that every referenced row is
+    # the correct projective point (a wrong row breaks the relation).
+    runner = s2exec.Stage2Runner(ctx, dctx, sp, jnp.asarray(pt), s_const,
+                                 b1, cross="noinv")
+    caps = []
+    orig = runner.ops.replay_segment_noinv
+
+    def capture(acc, pa_ext, pbx, idx):
+        caps.append((np.asarray(pa_ext), np.asarray(pbx), np.asarray(idx)))
+        return orig(acc, pa_ext, pbx, idx)
+
+    runner.ops.replay_segment_noinv = capture
+    runner.init()
+    runner.run_chunk(map_v, map_u, amin0)
+    res = runner.result()
+    assert res.numinv == 0 and not res.factors
+    assert res.paired == res_i.paired \
+        == int(np.sum(~((map_v == 0) & (map_u == 0))))
+
+    rinv = pow(p.R, -1, n)
+    zprod = [1] * len(sigmas)
+    for pa_ext, pbx, idx in caps:
+        for j, u in idx.tolist():
+            if u == 0:                      # pad entry: contributes one
+                continue
+            # captured planes are Montgomery-domain (z * R): strip R
+            za = layout.unpack_batch(pa_ext[j, 1], p.w)
+            zb = layout.unpack_batch(pbx[u, 1], p.w)
+            for i in range(len(sigmas)):
+                zprod[i] = (zprod[i] * (za[i] * rinv % n) % n
+                            * (zb[i] * rinv % n) % n)
+    for i in range(len(sigmas)):
+        want = res_i.acc[i] * zprod[i] % n
+        assert res.acc[i] == want, \
+            f"curve {i}: noinv/inv accumulator relation broken"
+
+
 def test_stage2_pallas_kernels_parity():
     """The stage-2 Pallas kernels (chain extension, prefix products,
     apply-inverse, pairmap replay) must match the jnp fallback bit-exactly

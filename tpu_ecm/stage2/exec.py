@@ -172,6 +172,42 @@ def _replay_segment(acc, pa_inv_ext, pbx, idx, dctx: DeviceCtx):
     return jnp_ops.mulmod(acc, vals[0], dctx)
 
 
+@jax.jit
+def _mul_planes(a, b, dctx: DeviceCtx):
+    """Row-wise Montgomery products for stacked planes [K, NW, B]."""
+    return jax.vmap(lambda x, y: jnp_ops.mulmod(x, y, dctx, pre=True))(a, b)
+
+
+@jax.jit
+def _replay_segment_noinv(acc, pa_ext, pbx, idx, dctx: DeviceCtx):
+    """Inversion-free cross product: acc *= prod (Xa*Zb - Xb*Za) via the
+    identity (Xa - Xb)(Za + Zb) + Xb*Zb - Xa*Za (the reference's
+    CROSS_PRODUCT compile-time variant, /root/reference/ecm.c:1861-1866,
+    selected when DO_STAGE2_INV is not defined; Paprod/Pbprod are the
+    precomputed X*Z rows).  pa_ext rows are (X, Z, X*Z) stacks
+    [K+1, 3, NW, B] whose pad row K is (one, one, 0); pbx rows likewise
+    with pbx[0] = (0, 0, 0), so a pad entry (K, 0) contributes
+    (1-0)(1+0) + 0 - 0 = the Montgomery one."""
+    pa = jnp.take(pa_ext, idx[:, 0], axis=0)   # [T, 3, NW, B]
+    pb = jnp.take(pbx, idx[:, 1], axis=0)
+
+    def one_val(a, b):
+        t1 = jnp_ops.submod_n(a[0], b[0], dctx)
+        t2 = jnp_ops.addmod_n(a[1], b[1], dctx)
+        t3 = jnp_ops.mulmod(t1, t2, dctx, pre=True)
+        t4 = jnp_ops.addmod_n(t3, b[2], dctx)
+        return jnp_ops.submod_n(t4, a[2], dctx)
+
+    vals = jax.vmap(one_val)(pa, pb)
+    vm = jax.vmap(lambda a, b: jnp_ops.mulmod(a, b, dctx, pre=True))
+    t = vals.shape[0]
+    while t > 1:
+        half = t // 2
+        vals = vm(vals[:half], vals[half:t])
+        t = half
+    return jnp_ops.mulmod(acc, vals[0], dctx)
+
+
 def _run_ladder(pt, s_const, k: int, run_tape, num_slots: int,
                 sharder=None):
     """[k]P via a host-planned binary-ladder tape (next_pt_vec analog).
@@ -254,6 +290,12 @@ class DigitOps:
     def replay_segment(self, acc, pa_inv_ext, pbx, idx):
         return _replay_segment(acc, pa_inv_ext, pbx, idx, self.dctx)
 
+    def mul_planes(self, a, b):
+        return _mul_planes(a, b, self.dctx)
+
+    def replay_segment_noinv(self, acc, pa_ext, pbx, idx):
+        return _replay_segment_noinv(acc, pa_ext, pbx, idx, self.dctx)
+
     # pallas executor factories ------------------------------------------
     def make_chain(self, b, count):
         from ..limbs import pallas_ops
@@ -325,10 +367,27 @@ class Stage2Runner:
                  pt, s_const, b1: int, verbose: bool = False,
                  use_pallas: bool = False,
                  executor_cache: Optional[Dict] = None,
-                 sharder=None, interpret: bool = False, ops=None):
+                 sharder=None, interpret: bool = False, ops=None,
+                 cross: Optional[str] = None):
         self.ctx, self.dctx, self.sp = ctx, dctx, sp
         self.ops = ops if ops is not None else DigitOps(
             ctx, dctx, sharder=sharder, interpret=interpret)
+        # cross-product form (the reference's DO_STAGE2_INV compile switch,
+        # /root/reference/ecm.c:2526-2530): "inv" normalizes points with
+        # batched inversions and accumulates 1 mul/pair (the reference's
+        # shipped configuration and the measured-fastest form here — the
+        # TPU pays ONE host modinv per point group already); "noinv" keeps
+        # points projective, carries X*Z product rows, and accumulates the
+        # 2-mul identity with ZERO inversions (and therefore no
+        # inversion-failure factor harvests, exactly like the reference's
+        # CROSS_PRODUCT build).  noinv runs on the jnp path (XLA on either
+        # backend); no Pallas twin is built for a measured-slower form.
+        self.cross = cross or os.environ.get("TPU_ECM_CROSS", "inv")
+        if self.cross not in ("inv", "noinv"):
+            raise ValueError(f"unknown cross-product form {self.cross!r}")
+        if self.cross == "noinv" and not hasattr(self.ops,
+                                                 "replay_segment_noinv"):
+            raise ValueError("cross='noinv' requires the digit engine")
         self.pt = pt                  # stage-1 point [2, planes, B]
         self.s_const = s_const
         self.b1 = b1
@@ -457,6 +516,8 @@ class Stage2Runner:
     # -- phase 2: init ------------------------------------------------------
 
     def init(self):
+        if self.cross == "noinv":
+            return self._init_noinv()
         sp = self.sp
         # The Pb chain S_d = S_{d-1} + Q (diff S_{d-2}) is the same
         # differential-add chain as the giant steps: reuse the chain
@@ -502,6 +563,48 @@ class Stage2Runner:
         self.pbx = pbx.at[0].set(jnp.zeros_like(self.one_plane))
         self.ptadds += sp.umax - 2
         # Pd = [D]Q (not inverted), /root/reference/ecm.c:2331-2334
+        self.pd = self._ladder(self.pt, sp.D)
+        return self
+
+    def _init_noinv(self):
+        """Inversion-free init: the Pb table keeps PROJECTIVE rows
+        (X, Z, X*Z) — the reference's Pb + Pbprod arrays
+        (/root/reference/ecm.c:2201-2340 builds Pbprod alongside Pb when
+        CROSS_PRODUCT is the active form) — so no batch inversion runs and
+        no inversion-failure harvest exists, matching that build's
+        behavior.  Same streamed group chain as init(); three planes are
+        scattered per stored row instead of one affine row."""
+        sp = self.sp
+        q1 = self.pt
+        x2, z2 = self.ops.xdbl(q1[0], q1[1], self.s_const)
+        self.ptdups += 1
+        q2 = jnp.stack([x2, z2])
+        nw, b = q1.shape[1], q1.shape[2]
+        pbx = _zeros((sp.num_pb, 3, nw, b), self.sharder)
+        for slot, q in ((1, q1), (2, q2)):
+            prod = self.ops.mul_planes(q[0][None], q[1][None])[0]
+            pbx = pbx.at[slot].set(jnp.stack([q[0], q[1], prod]))
+        G = self.pa_group
+        p_last, p_prev = q2, q1
+        for base in range(3, sp.umax + 1, G):
+            cnt = min(G, sp.umax + 1 - base)
+            group = self._extend(p_last, p_prev, G, pd=q1)
+            p_last, p_prev = group[-1], group[-2]
+            slots = sp.rprime_map[base:base + cnt].astype(np.int64)
+            sel = np.nonzero(slots)[0]
+            gi = np.zeros(G, dtype=np.int32)
+            gi[:sel.size] = sel
+            gx = jnp.take(group[:, 0], jnp.asarray(gi), axis=0)
+            gz = jnp.take(group[:, 1], jnp.asarray(gi), axis=0)
+            gp = self.ops.mul_planes(gx, gz)
+            sl = np.zeros(G, dtype=np.int32)
+            sl[:sel.size] = slots[sel]
+            pbx = pbx.at[jnp.asarray(sl)].set(
+                jnp.stack([gx, gz, gp], axis=1))
+        # padded scatter rows land in slot 0, which must be the all-zero
+        # row (pad replay entries read pbx[0] = (0, 0, 0))
+        self.pbx = pbx.at[0].set(jnp.zeros_like(pbx[0]))
+        self.ptadds += sp.umax - 2
         self.pd = self._ladder(self.pt, sp.D)
         return self
 
@@ -590,24 +693,39 @@ class Stage2Runner:
 
             hi = np.searchsorted(entries[:, 0], base + G)
             if hi > pos:
-                # mask chain-padding rows (j > max_j) to the Montgomery one
-                # before inversion: otherwise which gcd hits (inversion-
-                # failure factor harvests) get detected would depend on the
-                # group size — fixed sigma must give identical factor finds
-                # for ANY engine/grouping (the reference inverts exactly the
-                # window it uses, ecm.c:2375-2438)
-                valid = max_j - base + 1
-                xs, zs = group[:, 0], group[:, 1]
-                if valid < G:
-                    rows = jnp.arange(G)[:, None, None]
-                    xs = jnp.where(rows < valid, xs, self.one_plane[None])
-                    zs = jnp.where(rows < valid, zs, self.one_plane[None])
-                pa_inv = self._invert_planes(xs, zs)
-                pa_inv_ext = jnp.concatenate(
-                    [pa_inv, self.one_plane[None]], axis=0)
                 idx = np.stack([entries[pos:hi, 0] - base,
                                 entries[pos:hi, 1]], axis=1).astype(np.int32)
-                self._replay(pa_inv_ext, idx)
+                if self.cross == "noinv":
+                    # projective form: no masking needed (nothing is
+                    # inverted; pad chain rows are never referenced by idx)
+                    xs, zs = group[:, 0], group[:, 1]
+                    prod = self.ops.mul_planes(xs, zs)
+                    pad = jnp.stack([self.one_plane, self.one_plane,
+                                     jnp.zeros_like(self.one_plane)])
+                    pa_ext = jnp.concatenate(
+                        [jnp.stack([xs, zs, prod], axis=1), pad[None]],
+                        axis=0)
+                    self._replay_noinv(pa_ext, idx)
+                else:
+                    # mask chain-padding rows (j > max_j) to the Montgomery
+                    # one before inversion: otherwise which gcd hits
+                    # (inversion-failure factor harvests) get detected would
+                    # depend on the group size — fixed sigma must give
+                    # identical factor finds for ANY engine/grouping (the
+                    # reference inverts exactly the window it uses,
+                    # ecm.c:2375-2438)
+                    valid = max_j - base + 1
+                    xs, zs = group[:, 0], group[:, 1]
+                    if valid < G:
+                        rows = jnp.arange(G)[:, None, None]
+                        xs = jnp.where(rows < valid, xs,
+                                       self.one_plane[None])
+                        zs = jnp.where(rows < valid, zs,
+                                       self.one_plane[None])
+                    pa_inv = self._invert_planes(xs, zs)
+                    pa_inv_ext = jnp.concatenate(
+                        [pa_inv, self.one_plane[None]], axis=0)
+                    self._replay(pa_inv_ext, idx)
                 self.paired += int(idx.shape[0])
                 pos = hi
             base += G
@@ -775,6 +893,27 @@ class Stage2Runner:
             blk = np.concatenate([[np.int32(count)], blk])
             self.acc = replay(self.acc, pa_inv_ext, self.pbx,
                               jnp.asarray(blk))
+
+    def _replay_noinv(self, pa_ext, idx: np.ndarray):
+        """acc *= prod (Xa*Zb - Xb*Za) over the entry list (inversion-free
+        2-mul identity; see _replay_segment_noinv).  jnp path on either
+        backend: the 3-plane operand rows triple the replay gather traffic
+        and double its mulmods, so the inverted form stays the production
+        Pallas path — this form exists for reference parity
+        (/root/reference/ecm.c:2526-2530) and as an inversion-free
+        fallback."""
+        G = self.pa_group
+        t = idx.shape[0]
+        for lo in range(0, t, 512):
+            blk = idx[lo:lo + 512]
+            tb = blk.shape[0]
+            tpad = 1 << max(0, (tb - 1).bit_length())
+            if tpad > tb:
+                pad = np.tile(np.array([[G, 0]], dtype=np.int32),
+                              (tpad - tb, 1))
+                blk = np.concatenate([blk, pad], axis=0)
+            self.acc = self.ops.replay_segment_noinv(
+                self.acc, pa_ext, self.pbx, jnp.asarray(blk))
 
     def _replay(self, pa_inv_ext, idx: np.ndarray):
         """acc *= prod (Pa_inv[v] - PbX[u]) over the entry list."""
