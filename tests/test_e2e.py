@@ -132,6 +132,50 @@ def test_stage2_finds_factor(tmp_path):
     assert hit.sigma == 112
 
 
+def _prp550(seed):
+    import random
+    rng = random.Random(seed)
+    while True:
+        c = rng.getrandbits(550) | 1 | (1 << 549)
+        if all(pow(a, c - 1, c) == 1 for a in (2, 3, 5, 7, 11)):
+            return c
+
+
+def test_engine_probe_cache_and_fallback(tmp_path, monkeypatch):
+    """The digit/RNS crossover auto-probe (VERDICT r2 item 8): inside
+    [RNS_PROBE_LO, RNS_PROBE_HI) on a Pallas backend the driver consults
+    the per-(backend, w, nw) result persisted in engine_probe.json; a
+    seeded file short-circuits the timing run entirely, and a probe
+    failure falls back to the static RNS_MIN_BITS threshold."""
+    import json
+
+    n = _prp550(3) * _prp550(7)         # ~1100 bits: inside the probe band
+    assert driver.RNS_PROBE_LO <= n.bit_length() < driver.RNS_PROBE_HI
+    ctx = params.make_monty(n)
+    key = f"cpu_w{ctx.p.w}_nw{ctx.p.nw}"
+
+    for want in ("rns", "digit"):
+        cache = tmp_path / f"cache_{want}"
+        cache.mkdir()
+        (cache / "engine_probe.json").write_text(json.dumps({key: want}))
+        cfg = _cfg(tmp_path, n=n, curves=1, b1=100, engine="auto",
+                   use_pallas=True, pallas_interpret=True,
+                   cache_dir=str(cache))
+        assert driver.ECMDriver(cfg).engine == want
+
+    # probe failure -> static threshold (1100 < RNS_MIN_BITS=1400 -> digit)
+    def boom(*a, **k):
+        raise RuntimeError("probe exploded")
+
+    monkeypatch.setattr(driver, "_measured_engine", boom)
+    cache2 = tmp_path / "cache_none"
+    cache2.mkdir()
+    cfg = _cfg(tmp_path, n=n, curves=1, b1=100, engine="auto",
+               use_pallas=True, pallas_interpret=True,
+               cache_dir=str(cache2))
+    assert driver.ECMDriver(cfg).engine == "digit"
+
+
 def test_stage2_noinv_finds_factor(tmp_path, monkeypatch):
     """TPU_ECM_CROSS=noinv (the reference's inversion-free CROSS_PRODUCT
     build, /root/reference/ecm.c:2526-2530) through the full driver: the
