@@ -48,6 +48,11 @@ def main():
     if "-kb" in args:                 # hybrid kara+blocked REDC schedule
         args.remove("-kb")
         pallas_ops.BLOCKED_KARA = True
+    kab = False
+    if "-kab" in args:                # interleaved same-session A/B:
+        args.remove("-kab")           # blocked vs kara+blocked, best-of-3
+        kab = True                    # each, alternating (tunnel-variance
+                                      # robust; settles VERDICT r2 item 5)
     sizes = [int(a) for a in args] or [605, 999]
     b1 = 3000
     tape = prac.stage1_tape(primes_range(0, b1), b1)
@@ -98,6 +103,35 @@ def main():
                 [c.s_mont for c in curves], p.w, p.nw))
             sched = ("blocked" if p.nw > pallas_ops.BLOCKED_NW else
                      ("kara" if p.nw >= pallas_ops.KARA_NW else "school"))
+            if kab and sched == "blocked":
+                # one compile per variant, then alternate timed runs so
+                # both see the same tunnel-load minutes; best-of-3 each
+                runs, outs = {}, {}
+                for kb in (False, True):
+                    pallas_ops.BLOCKED_KARA = kb
+                    runs[kb] = pallas_ops.make_tape_executor(ctx, batch)
+                    outs[kb] = runs[kb](jnp.asarray(pts), tape, s_const)
+                    _ = np.asarray(outs[kb][0, 0, :1])   # compile under kb
+                best = {False: float("inf"), True: float("inf")}
+                for _rep in range(3):
+                    for kb in (False, True):
+                        pallas_ops.BLOCKED_KARA = kb
+                        t0 = time.time()
+                        outs[kb] = runs[kb](outs[kb], tape, s_const)
+                        _ = np.asarray(outs[kb][0, 0, :1])
+                        best[kb] = min(best[kb], time.time() - t0)
+                for kb in (False, True):
+                    dt = best[kb] / steps
+                    print(f"nbits={nbits} nw={p.nw} w={p.w} batch={batch} "
+                          f"sched=blocked bw={pallas_ops.BLOCKED_BW}"
+                          f"{' kara' if kb else ''}: "
+                          f"{dt*1e6:.1f} us/point-op "
+                          f"({dt*1e9/batch:.1f} ns/curve)", flush=True)
+                win = "kara" if best[True] < best[False] else "blocked"
+                print(f"nbits={nbits} A/B winner: {win} "
+                      f"({best[True]/best[False]*100 - 100:+.1f}% kara vs "
+                      f"blocked)", flush=True)
+                continue
             for bw in (bws if sched == "blocked" else bws[:1]):
                 pallas_ops.BLOCKED_BW = bw
                 run = pallas_ops.make_tape_executor(ctx, batch)
