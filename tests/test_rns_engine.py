@@ -180,6 +180,47 @@ def test_rns_engine_1536bit_stage2_find(tmp_path):
                for h in res.factors), res.factors
 
 
+def test_huge_modulus_host_only_geometry_routes_to_rns(tmp_path):
+    """> ~2000 bits no int32 digit-plane radix exists: make_monty must fall
+    back to a host-only geometry (device_ok=False) instead of raising, the
+    driver must auto-route to the RNS engine, and an explicit digit-engine
+    request must fail with a clear error.  (Acceptance row 21 is a
+    2355-bit input the reference handles via its DIGITBITS=32 build,
+    /root/reference/test.csh:23; here the MXU engine is that regime's
+    path — full find-parity is covered by the TPU_ECM_SLOW test below
+    and was validated on hardware, BENCH_NOTES round 3.)"""
+    rng = random.Random(5)
+    n = 34359738421 * _prp(rng, 2320)          # ~2355 bits, like row 21
+    ctx = params.make_monty(n)
+    assert not ctx.p.device_ok
+    assert ctx.from_mont_int(ctx.to_mont_int(12345)) == 12345
+    cfg = _cfg(tmp_path, n=n, curves=1, b1=100, b2=100)
+    d = driver.ECMDriver(cfg)
+    assert d.engine == "rns" and d._rns_host is not None
+    with pytest.raises(ValueError, match="digit"):
+        driver.ECMDriver(_cfg(tmp_path, n=n, curves=1, b1=100,
+                              engine="digit"))
+    with pytest.raises(ValueError, match="RNS"):
+        driver.ECMDriver(_cfg(tmp_path, n=n, curves=1, b1=100,
+                              curve_mode="edwards"))
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("TPU_ECM_SLOW"),
+                    reason="~5-10 min CPU-interpret run: TPU_ECM_SLOW=1")
+def test_huge_modulus_stage2_find(tmp_path):
+    """2355-bit end-to-end on the RNS engine: the pinned P35 stage-2 hit
+    must surface (run on hardware 2026-08-19, 288 s wall, sigma 112/132/...
+    all found; this gate keeps the CPU suite fast)."""
+    rng = random.Random(5)
+    P35 = 34359738421
+    n = P35 * _prp(rng, 2320)
+    cfg = _cfg(tmp_path, n=n, curves=4, b1=300, b2=10000, sigma=110,
+               stop_on_factor=False)
+    res = driver.ECMDriver(cfg).run()
+    assert any(h.factor % P35 == 0 and h.stage == 2 and h.sigma == 112
+               for h in res.factors), res.factors
+
+
 def test_rns_engine_resume_stage2(tmp_path):
     """A >=1400-bit savefile resume rides the RNS stage-2 path (the same
     engine a fresh run auto-dispatches to) and finds the pinned factor."""

@@ -218,8 +218,8 @@ def prepare_context(n: int, force_no_mersenne: bool = False,
             mers = None
         # pseudo-Mersenne c must leave fold headroom at our radix
         elif c not in (1, -1):
-            w, _, _ = _params.select_radix(e)
-            if e <= 2 * abs(c).bit_length() + 2 * w + 16:
+            w, _, _, dev_ok = _params._radix_or_host_only(e)
+            if not dev_ok or e <= 2 * abs(c).bit_length() + 2 * w + 16:
                 mers = None
     if mers is not None and verbose:
         e, c = mers
@@ -303,9 +303,23 @@ class ECMDriver:
             # the Edwards ladder nests two subtractions (E = E0 - A - B),
             # breaking the RNS 2V input bound (rns_exec.py docstring)
             raise ValueError("engine='rns' supports curve_mode='suyama' only")
+        if not self.ctx.p.device_ok:
+            # > ~2000 bits: no int32 digit-plane radix exists (host-only
+            # geometry, params._radix_or_host_only) — the RNS/MXU engine is
+            # the only device path (covers to ~6200 bits)
+            if cfg.engine == "digit":
+                raise ValueError(
+                    f"{self.ctx.p.nbits}-bit modulus exceeds the digit "
+                    "engine's int32 column bound; use engine='rns'")
+            if cfg.curve_mode != "suyama":
+                raise ValueError(
+                    f"{self.ctx.p.nbits}-bit moduli require the RNS engine, "
+                    "which supports curve_mode='suyama' only")
         self.engine = cfg.engine
         if self.engine == "auto":
-            if self.ctx.is_mersenne or cfg.curve_mode != "suyama":
+            if not self.ctx.p.device_ok:
+                self.engine = "rns"
+            elif self.ctx.is_mersenne or cfg.curve_mode != "suyama":
                 self.engine = "digit"
             elif not self.use_pallas:
                 # CPU fallback keeps the static threshold (probing jnp

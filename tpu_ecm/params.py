@@ -75,6 +75,23 @@ def select_radix(nbits: int) -> Tuple[int, int, bool]:
     raise ValueError(f"no valid radix for {nbits}-bit modulus")
 
 
+def _radix_or_host_only(nbits: int) -> Tuple[int, int, bool, bool]:
+    """(w, nw, norm_inputs, device_ok).  Beyond the int32 digit-plane bound
+    (~2000 bits: small radices diverge because the 2-pass lazy-carry
+    residual col >> 2w stays large relative to 2^w) fall back to a
+    host-only geometry — any R = 2^(w*nw) > 16*N serves the host-side
+    Montgomery bookkeeping — and flag device_ok=False so the driver routes
+    device arithmetic to the RNS/MXU engine (the reference covers this
+    regime with its DIGITBITS=32 build, /root/reference/vecarith.c; here
+    the MXU formulation is the large-moduli path)."""
+    try:
+        w, nw, norm = select_radix(nbits)
+        return w, nw, norm, True
+    except ValueError:
+        w = 13
+        return w, (nbits + 4 + w - 1) // w + 1, True, False
+
+
 @dataclasses.dataclass(frozen=True)
 class ArithParams:
     """Static (trace-time) arithmetic geometry."""
@@ -82,6 +99,12 @@ class ArithParams:
     nw: int         # number of digits per bignum
     nbits: int      # bit size the geometry was sized for
     norm_inputs: bool = False   # lazy-pass mul operands at entry (large nw)
+    # False: no int32 digit-plane radix satisfies the worst-case column
+    # bound at this size (~> 2000 bits with 2 lazy passes) — the geometry
+    # is HOST-ONLY Montgomery bookkeeping (R, nprime, conversions) and the
+    # driver must route device arithmetic to the RNS/MXU engine, whose
+    # f32-exactness bound reaches ~6200 bits (limbs/rns.py choose_cw)
+    device_ok: bool = True
 
     @property
     def mask(self) -> int:
@@ -150,9 +173,11 @@ def make_monty(n: int, *, mersenne: Optional[Tuple[int, int]] = None,
             nw = (e + 4 + w - 1) // w + 1
             norm = (_digit_bound_fixed_point(w, nw, False)
                     >= int(0.95 * 2**31))
+            dev_ok = True
         else:
-            w, nw, norm = select_radix(e)
-        p = ArithParams(w=w, nw=nw, nbits=e, norm_inputs=norm)
+            w, nw, norm, dev_ok = _radix_or_host_only(e)
+        p = ArithParams(w=w, nw=nw, nbits=e, norm_inputs=norm,
+                        device_ok=dev_ok)
         return MontyCtx(p=p, n_int=m, input_n=n, nprime=0,
                         r_mod_n=1, r2_mod_n=1, mersenne_e=e, mersenne_c=c)
 
@@ -161,9 +186,11 @@ def make_monty(n: int, *, mersenne: Optional[Tuple[int, int]] = None,
         w = force_w
         nw = (nbits + 4 + w - 1) // w + 1
         norm = _digit_bound_fixed_point(w, nw, False) >= int(0.95 * 2**31)
+        dev_ok = True
     else:
-        w, nw, norm = select_radix(nbits)
-    p = ArithParams(w=w, nw=nw, nbits=nbits, norm_inputs=norm)
+        w, nw, norm, dev_ok = _radix_or_host_only(nbits)
+    p = ArithParams(w=w, nw=nw, nbits=nbits, norm_inputs=norm,
+                    device_ok=dev_ok)
     R = p.R
     nprime = (-pow(n, -1, 1 << w)) % (1 << w)
     return MontyCtx(p=p, n_int=n, input_n=n, nprime=nprime,
