@@ -152,7 +152,7 @@ def test_engine_probe_cache_and_fallback(tmp_path, monkeypatch):
     n = _prp550(3) * _prp550(7)         # ~1100 bits: inside the probe band
     assert driver.RNS_PROBE_LO <= n.bit_length() < driver.RNS_PROBE_HI
     ctx = params.make_monty(n)
-    key = f"cpu_w{ctx.p.w}_nw{ctx.p.nw}"
+    key = f"cpu_w{ctx.p.w}_nw{ctx.p.nw}_{driver._kernel_fingerprint()}"
 
     for want in ("rns", "digit"):
         cache = tmp_path / f"cache_{want}"

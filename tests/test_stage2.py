@@ -425,19 +425,24 @@ def test_replay_stream_kernel_value_parity():
     for v, u in idx.tolist()[:T - 2]:
         acc = jnp_ops.mulmod(acc, jnp.asarray(pa[v] - pb[u]), dctx)
     ref = layout.unpack_batch(np.asarray(acc), p.w)
-    run = pallas_ops.make_replay_stream_executor(
-        ctx, b, PA, PB, t_block=T, n_buffers=3, interpret=True)
     packed = ((idx[:, 0] << 16) | idx[:, 1]).astype(np.int32)
-    # idx[0] = live count: stop after the real entries (the two trailing
-    # pads are never touched — exercises the dynamic loop bound); also
-    # run with count = T to check pads multiply by one
-    for count in (T - 2, T):
-        flat = np.concatenate([[np.int32(count)], packed])
-        got = layout.unpack_batch(np.asarray(
-            run(jnp.asarray(acc0), jnp.asarray(pa), jnp.asarray(pb),
-                jnp.asarray(flat))), p.w)
-        for i in range(b):
-            assert got[i] % n == ref[i] % n, (count, i)
+    # unroll=1 is the plain dynamic loop; unroll=4 exercises the unrolled
+    # main body with a 2-entry tail at count=T-2 (14 = 3*4 + 2) and a clean
+    # split at count=T; unroll=3 gives a different tail phase (14 = 4*3 + 2)
+    for unroll in (1, 3, 4):
+        run = pallas_ops.make_replay_stream_executor(
+            ctx, b, PA, PB, t_block=T, n_buffers=3, unroll=unroll,
+            interpret=True)
+        # idx[0] = live count: stop after the real entries (the two trailing
+        # pads are never touched — exercises the dynamic loop bound); also
+        # run with count = T to check pads multiply by one
+        for count in (T - 2, T):
+            flat = np.concatenate([[np.int32(count)], packed])
+            got = layout.unpack_batch(np.asarray(
+                run(jnp.asarray(acc0), jnp.asarray(pa), jnp.asarray(pb),
+                    jnp.asarray(flat))), p.w)
+            for i in range(b):
+                assert got[i] % n == ref[i] % n, (count, unroll, i)
 
 
 def test_replay_resident_kernel_value_parity():

@@ -84,12 +84,14 @@ if os.environ.get("RM_ALL"):
     SWEEP += (("gather", 8, ""), ("parow", 16, ""), ("parow", 32, ""),
               ("parow", 8, ""), ("parow", 64, ""), ("resident", 8, ""),
               ("resident", 8, "65536"), ("resident", 16, ""))
-if os.environ.get("RM_SWEEP"):       # "mode:e[:blk],mode:e[:blk],..."
-    SWEEP = tuple((m, int(e), blk[0] if blk else "")
-                  for m, e, *blk in (c.split(":")
-                                     for c in os.environ["RM_SWEEP"]
-                                     .split(",")))
-for mode, e, blk in SWEEP:
+if os.environ.get("RM_SWEEP"):       # "mode:e[:blk[:ur]],..."
+    SWEEP = tuple((m, int(e), rest[0] if rest else "",
+                   rest[1] if len(rest) > 1 else "")
+                  for m, e, *rest in (c.split(":")
+                                      for c in os.environ["RM_SWEEP"]
+                                      .split(",")))
+SWEEP = tuple(t if len(t) == 4 else t + ("",) for t in SWEEP)
+for mode, e, blk, ur in SWEEP:
     os.environ["TPU_ECM_REPLAY"] = mode
     # for stream, e is the buffer depth (NB); otherwise entries/step
     os.environ["TPU_ECM_REPLAY_E" if mode != "stream"
@@ -98,9 +100,13 @@ for mode, e, blk in SWEEP:
         os.environ["TPU_ECM_REPLAY_BLOCK"] = blk
     else:
         os.environ.pop("TPU_ECM_REPLAY_BLOCK", None)
+    if ur:
+        os.environ["TPU_ECM_REPLAY_UNROLL"] = ur
+    else:
+        os.environ.pop("TPU_ECM_REPLAY_UNROLL", None)
     ec = {}
     tag = f"{mode} {'NB' if mode == 'stream' else 'E'}={e}" \
-        + (f" blk={blk}" if blk else "")
+        + (f" blk={blk}" if blk else "") + (f" ur={ur}" if ur else "")
     try:
         warm, res = stage2_pass(ec)
     except Exception as exc:

@@ -85,19 +85,44 @@ RNS_PROBE_HI = 2048   # RNS measured clearly ahead from 2048 bits
 RNS_PROBE_STEPS = 512  # probe tape length (ADD/DUP alternation)
 
 
+_KERNEL_FP = None
+
+
+def _kernel_fingerprint() -> str:
+    """Short hash of the kernel-defining sources; baked into the probe key
+    so editing any engine kernel invalidates persisted probe results
+    automatically (no stale engine_probe.json after a kernel change)."""
+    global _KERNEL_FP
+    if _KERNEL_FP is None:
+        import hashlib
+        here = os.path.dirname(__file__)
+        h = hashlib.sha256()
+        for rel in ("limbs/pallas_ops.py", "limbs/jnp_ops.py",
+                    "limbs/rns.py", "limbs/rns_exec.py"):
+            try:
+                with open(os.path.join(here, rel), "rb") as f:
+                    h.update(f.read())
+            except OSError:
+                h.update(rel.encode())
+        _KERNEL_FP = h.hexdigest()[:12]
+    return _KERNEL_FP
+
+
 def _measured_engine(ctx, rns_host_factory, cache_dir: Optional[str],
                      verbose: int) -> str:
     """Timing probe: run a short synthetic ADD/DUP tape on both engines at
     their default batches and pick the higher curves/throughput.  Result is
-    persisted per (backend, w, nw) in {cache_dir}/engine_probe.json, so the
-    probe (two small Mosaic compiles + two timed runs) happens once per
-    geometry per machine."""
+    persisted per (backend, w, nw, kernel-source hash) in
+    {cache_dir}/engine_probe.json, so the probe (two small Mosaic compiles +
+    two timed runs) happens once per geometry per machine — and re-runs by
+    itself whenever a kernel source changes."""
     import json
 
     import jax
     import jax.numpy as jnp
 
-    key = f"{jax.default_backend()}_w{ctx.p.w}_nw{ctx.p.nw}"
+    key = (f"{jax.default_backend()}_w{ctx.p.w}_nw{ctx.p.nw}"
+           f"_{_kernel_fingerprint()}")
     path = None
     if cache_dir:
         path = os.path.join(cache_dir, "engine_probe.json")
@@ -165,6 +190,9 @@ def _measured_engine(ctx, rns_host_factory, cache_dir: Optional[str],
             if os.path.exists(path):
                 with open(path) as f:
                     data = json.load(f)
+            # prune entries from older kernel sources (stale by definition)
+            fp = _kernel_fingerprint()
+            data = {k: v for k, v in data.items() if k.endswith(fp)}
             data[key] = pick
             tmp = f"{path}.{os.getpid()}.tmp"
             with open(tmp, "w") as f:

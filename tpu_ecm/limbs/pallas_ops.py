@@ -867,7 +867,7 @@ def make_replay_parow_executor(ctx: MontyCtx, batch: int, pa_rows: int,
 
 def make_replay_stream_executor(ctx: MontyCtx, batch: int, pa_rows: int,
                                 pb_rows: int, t_block: int = 65536,
-                                n_buffers: int = 8,
+                                n_buffers: int = 8, unroll: int = 1,
                                 interpret: bool = False, sharder=None):
     """Replay with a MANUAL deep DMA pipeline (the round-3 kernel).
 
@@ -920,7 +920,7 @@ def make_replay_stream_executor(ctx: MontyCtx, batch: int, pa_rows: int,
         for k in range(NB):                      # static warm-up
             pb_copy(k, k).start()
 
-        def body(k, _):
+        def entry(k):
             slot = jax.lax.rem(k, NB)
 
             # rare: the giant-step row changed — synchronous re-fetch
@@ -941,9 +941,28 @@ def make_replay_stream_executor(ctx: MontyCtx, batch: int, pa_rows: int,
             def _():
                 pb_copy(k + NB, slot).start()
 
+        def body(k, _):
+            entry(k)
             return 0
 
-        jax.lax.fori_loop(0, count, body, 0, unroll=False)
+        if unroll <= 1:
+            jax.lax.fori_loop(0, count, body, 0, unroll=False)
+        else:
+            # body-level unroll: U entries per while iteration amortizes the
+            # scalar loop overhead (DMA descriptor issue, SMEM index math)
+            # while keeping the trip count dynamic; the tail runs one-by-one
+            # so short final blocks still cost exactly `count` mulmods.
+            U = unroll
+
+            def body_u(t, _):
+                base = t * U
+                for s in range(U):
+                    entry(base + s)
+                return 0
+
+            main = (count // U) * U
+            jax.lax.fori_loop(0, count // U, body_u, 0, unroll=False)
+            jax.lax.fori_loop(main, count, body, 0, unroll=False)
         acc_out[...] = acc_scr[...]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -338,11 +338,12 @@ class DigitOps:
             entries_per_step=entries_per_step, sharder=self.sharder,
             interpret=self.interpret)
 
-    def make_replay_stream(self, b, pa_rows, pb_rows, t_block, n_buffers):
+    def make_replay_stream(self, b, pa_rows, pb_rows, t_block, n_buffers,
+                           unroll=1):
         from ..limbs import pallas_ops
         return pallas_ops.make_replay_stream_executor(
             self.ctx, b, pa_rows=pa_rows, pb_rows=pb_rows, t_block=t_block,
-            n_buffers=n_buffers, sharder=self.sharder,
+            n_buffers=n_buffers, unroll=unroll, sharder=self.sharder,
             interpret=self.interpret)
 
 
@@ -870,13 +871,14 @@ class Stage2Runner:
     def _replay_stream(self, pa_inv_ext, idx: np.ndarray):
         G = self.pa_group
         nb = int(os.environ.get("TPU_ECM_REPLAY_NB", "16"))
+        ur = int(os.environ.get("TPU_ECM_REPLAY_UNROLL", "1"))
         tb = self.replay_block      # 64k packed entries = 256 KB SMEM
         key = (self._ek, "replay_stream", G + 1, int(self.pbx.shape[0]),
-               tb, nb)
+               tb, nb, ur)
         if key not in self._cache:
             self._cache[key] = self.ops.make_replay_stream(
                 self.b, pa_rows=G + 1, pb_rows=int(self.pbx.shape[0]),
-                t_block=tb, n_buffers=nb)
+                t_block=tb, n_buffers=nb, unroll=ur)
         replay = self._cache[key]
         packed = ((idx[:, 0].astype(np.int64) << 16)
                   | idx[:, 1].astype(np.int64)).astype(np.int32)
