@@ -111,14 +111,17 @@ def main():
 
     time_full = dt * (full_len / slice_len)
     extrapolated = time_full
-    # BENCH_FULL=1: de-extrapolate — run the WHOLE tape once (including
-    # every chunk-boundary cost the slice excludes) and use the measured
-    # wall as the stage-1 number; the slice extrapolation error is
-    # reported alongside (VERDICT r2 weak-#2).  Kept off by default so
-    # smoke runs stay fast; the recorded error bound (BENCH_NOTES.md)
-    # justifies the slice mode between full runs.
+    # Full-tape de-extrapolation: run the WHOLE tape (including every
+    # chunk-boundary cost the slice excludes) and use the measured wall as
+    # the stage-1 number; the slice extrapolation error is reported
+    # alongside.  DEFAULT on hardware since round 4 (VERDICT r3 item 3 —
+    # the driver artifact must carry the measured, not extrapolated,
+    # headline; round 3 measured the slice UNDERSTATING by ~6%).
+    # BENCH_FULL=0 keeps the fast slice-only smoke mode (and stays the
+    # default on the CPU backend, where the full tape takes hours).
     full_err = None
-    if os.environ.get("BENCH_FULL", "0") != "0" and full_len > slice_len:
+    if (os.environ.get("BENCH_FULL", "0" if on_cpu else "1") != "0"
+            and full_len > slice_len):
         tfull = np.asarray(tape)
         t0 = time.time()
         out = run(out, tfull)

@@ -176,6 +176,32 @@ def test_engine_probe_cache_and_fallback(tmp_path, monkeypatch):
     assert driver.ECMDriver(cfg).engine == "digit"
 
 
+def test_engine_probe_store_prunes_only_superseded(tmp_path):
+    """engine_probe.json writes must replace only the same-geometry entry
+    with an older kernel fingerprint; other geometries and other checkouts'
+    fingerprints survive (ADVICE r3: shared cache_dir across revisions)."""
+    import json
+
+    path = tmp_path / "engine_probe.json"
+    path.write_text(json.dumps({
+        "cpu_w12_nw36_oldfp0000000": "digit",    # superseded: same geometry
+        "cpu_w12_nw360_otherfp0000": "rns",      # different geometry (nw360)
+        "axon_w12_nw36_oldfp000000": "digit",    # different backend
+        "cpu_w11_nw40_fpAAAAAAAAAA": "rns",      # different geometry
+    }))
+    driver._probe_store(str(path), "cpu_w12_nw36_newfp1111111", "rns")
+    data = json.loads(path.read_text())
+    assert data == {
+        "cpu_w12_nw36_newfp1111111": "rns",
+        "cpu_w12_nw360_otherfp0000": "rns",
+        "axon_w12_nw36_oldfp000000": "digit",
+        "cpu_w11_nw40_fpAAAAAAAAAA": "rns",
+    }
+    # idempotent re-store of the same key
+    driver._probe_store(str(path), "cpu_w12_nw36_newfp1111111", "digit")
+    assert json.loads(path.read_text())["cpu_w12_nw36_newfp1111111"] == "digit"
+
+
 def test_stage2_noinv_finds_factor(tmp_path, monkeypatch):
     """TPU_ECM_CROSS=noinv (the reference's inversion-free CROSS_PRODUCT
     build, /root/reference/ecm.c:2526-2530) through the full driver: the

@@ -428,7 +428,8 @@ def test_replay_stream_kernel_value_parity():
     packed = ((idx[:, 0] << 16) | idx[:, 1]).astype(np.int32)
     # unroll=1 is the plain dynamic loop; unroll=4 exercises the unrolled
     # main body with a 2-entry tail at count=T-2 (14 = 3*4 + 2) and a clean
-    # split at count=T; unroll=3 gives a different tail phase (14 = 4*3 + 2)
+    # split at count=T (16 = 4*4); unroll=3 gives a different tail phase
+    # (14 = 4*3 + 2) and a 1-entry tail at count=T (16 = 5*3 + 1)
     for unroll in (1, 3, 4):
         run = pallas_ops.make_replay_stream_executor(
             ctx, b, PA, PB, t_block=T, n_buffers=3, unroll=unroll,

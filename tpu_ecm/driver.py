@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 import math
 import os
+import sys
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -86,13 +87,18 @@ RNS_PROBE_STEPS = 512  # probe tape length (ADD/DUP alternation)
 
 
 _KERNEL_FP = None
+_KERNEL_FP_RELIABLE = True
 
 
 def _kernel_fingerprint() -> str:
     """Short hash of the kernel-defining sources; baked into the probe key
     so editing any engine kernel invalidates persisted probe results
-    automatically (no stale engine_probe.json after a kernel change)."""
-    global _KERNEL_FP
+    automatically (no stale engine_probe.json after a kernel change).
+
+    If a source file cannot be read (e.g. a zipped install) the fingerprint
+    can no longer track kernel changes, so it degrades to a per-process
+    value: every process re-probes, and the result is not persisted."""
+    global _KERNEL_FP, _KERNEL_FP_RELIABLE
     if _KERNEL_FP is None:
         import hashlib
         here = os.path.dirname(__file__)
@@ -103,7 +109,11 @@ def _kernel_fingerprint() -> str:
                 with open(os.path.join(here, rel), "rb") as f:
                     h.update(f.read())
             except OSError:
-                h.update(rel.encode())
+                _KERNEL_FP_RELIABLE = False
+                print(f"tpu_ecm: cannot read {rel} for the engine-probe "
+                      "kernel fingerprint; probe results will not be cached "
+                      "this process", file=sys.stderr)
+                h.update(f"{rel}:{os.getpid()}:{time.time_ns()}".encode())
         _KERNEL_FP = h.hexdigest()[:12]
     return _KERNEL_FP
 
@@ -184,23 +194,33 @@ def _measured_engine(ctx, rns_host_factory, cache_dir: Optional[str],
         print(f"engine probe ({ctx.p.nbits} bits): digit "
               f"{td * 1e9:.1f} ns/curve/step vs rns {tr * 1e9:.1f} "
               f"-> {pick}")
-    if path:
-        try:
-            data = {}
-            if os.path.exists(path):
-                with open(path) as f:
-                    data = json.load(f)
-            # prune entries from older kernel sources (stale by definition)
-            fp = _kernel_fingerprint()
-            data = {k: v for k, v in data.items() if k.endswith(fp)}
-            data[key] = pick
-            tmp = f"{path}.{os.getpid()}.tmp"
-            with open(tmp, "w") as f:
-                json.dump(data, f, indent=1)
-            os.replace(tmp, path)
-        except (OSError, ValueError):
-            pass
+    if path and _KERNEL_FP_RELIABLE:
+        _probe_store(path, key, pick)
     return pick
+
+
+def _probe_store(path: str, key: str, pick: str) -> None:
+    """Persist one probe result, pruning only the entries this one
+    supersedes: same backend/w/nw prefix, older kernel fingerprint.
+    Entries for other geometries OR other fingerprints stay — two
+    checkouts at different revisions can share one cache_dir without
+    wiping each other's probes on every write."""
+    import json
+    try:
+        data = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                data = json.load(f)
+        prefix = key.rsplit("_", 1)[0]
+        data = {k: v for k, v in data.items()
+                if not (k.startswith(prefix + "_") and k != key)}
+        data[key] = pick
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1)
+        os.replace(tmp, path)
+    except (OSError, ValueError):
+        pass
 
 
 @dataclasses.dataclass
