@@ -91,6 +91,7 @@ def test_resume_stage2_from_savefile(tmp_path):
         driver.resume_stage2(sv, 300)   # B2 <= savefile B1
 
 
+@pytest.mark.slow
 def test_resume_stage2_batched_and_sharded(tmp_path):
     """A 10k-record savefile is resumed in device-sized batch groups (and
     sharded over the 8-device CPU mesh): the (factor, sigma) find-set must
@@ -536,6 +537,7 @@ def _oracle_stage1_gcd(n, sigma, b1):
     return math.gcd(Z * rinv % n, n)
 
 
+@pytest.mark.slow
 def test_driver_fuzz_random_semiprimes_guaranteed_finds(tmp_path):
     """Seeded driver-level property fuzz: for random ~24-bit semiprimes and
     a random sigma window, every (sigma, p) the group-order oracle

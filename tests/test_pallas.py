@@ -28,7 +28,10 @@ N64 = 2545580083 * 2551628647          # 63-bit semiprime (both factors prime)
 M61 = (1 << 61) - 1
 
 
-@pytest.mark.parametrize("n,mers", [(N64, None), (M61, (61, 1))])
+@pytest.mark.parametrize("n,mers", [
+    (N64, None),
+    pytest.param(M61, (61, 1), marks=pytest.mark.slow),
+])
 def test_pallas_executor_bitexact(n, mers):
     ctx = params.make_monty(n, mersenne=mers)
     dctx = jnp_ops.device_ctx(ctx)
@@ -57,6 +60,7 @@ def test_nop_padding_is_identity():
     np.testing.assert_array_equal(got[0], got2[0])
 
 
+@pytest.mark.slow
 def test_pallas_norm_inputs_bitexact():
     """norm_inputs entry-normalization branch (large-modulus mode), forced on
     via a tiny radix: pallas must stay bit-identical to the jnp path."""
@@ -73,7 +77,10 @@ def test_pallas_norm_inputs_bitexact():
     np.testing.assert_array_equal(got[0], ref[0])
 
 
-@pytest.mark.parametrize("n,mers", [(N64, None), (M61, (61, 1))])
+@pytest.mark.parametrize("n,mers", [
+    (N64, None),
+    pytest.param(M61, (61, 1), marks=pytest.mark.slow),
+])
 def test_pallas_karatsuba_bitexact(monkeypatch, n, mers):
     """One-level Karatsuba product/square schedule (headline-nw mode) must
     stay bit-identical to the jnp schoolbook path; forced on via the KARA_NW
@@ -92,14 +99,12 @@ def test_pallas_karatsuba_bitexact(monkeypatch, n, mers):
     np.testing.assert_array_equal(got[0], ref[0])
 
 
-@pytest.mark.parametrize("kara", [False, True])
-def test_pallas_blocked_cios_bitexact(monkeypatch, kara):
+def test_pallas_blocked_cios_bitexact(monkeypatch):
     """Blocked-CIOS mulmod schedule (large-nw mode) must stay bit-identical
-    to the jnp path; forced on via the BLOCKED_NW threshold.  kara=True
-    exercises the hybrid (Karatsuba-precomputed a*b columns feeding the
-    blocked REDC walk)."""
+    to the jnp path; forced on via the BLOCKED_NW threshold.  (The hybrid
+    kara+blocked schedule was deleted after losing its idle-chip A/B at 2
+    of 3 sizes — round-4 BENCH_NOTES.)"""
     monkeypatch.setattr(pallas_ops, "BLOCKED_NW", 4)
-    monkeypatch.setattr(pallas_ops, "BLOCKED_KARA", kara)
     ctx = params.make_monty(N64)
     dctx = jnp_ops.device_ctx(ctx)
     b = 128
@@ -112,6 +117,7 @@ def test_pallas_blocked_cios_bitexact(monkeypatch, kara):
     np.testing.assert_array_equal(got[0], ref[0])
 
 
+@pytest.mark.slow
 def test_pallas_blocked_mersenne_bitexact(monkeypatch):
     """Blocked product + Mersenne fold parity."""
     monkeypatch.setattr(pallas_ops, "BLOCKED_NW", 4)

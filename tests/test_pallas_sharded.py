@@ -184,6 +184,7 @@ def test_replay_resident_executor_sharded_bitexact(env):
     np.testing.assert_array_equal(np.asarray(out), ref)
 
 
+@pytest.mark.slow
 def test_driver_sharded_pallas_end_to_end(tmp_path):
     """Full driver run (stage 1 + stage 2) on the PALLAS engine sharded over
     2 devices: must find the pinned stage-2 factor and produce the identical

@@ -140,6 +140,7 @@ def test_rns_engine_pallas_stage2(tmp_path):
     assert (P35, 2, 112) in got
 
 
+@pytest.mark.slow
 def test_rns_engine_pallas_stage2_sharded(tmp_path):
     """engine='rns' + Sharder: all five RNS Pallas executors (tape, chain,
     prefix, apply-inverse, replay) shard_mapped over a 2-device mesh must
@@ -163,6 +164,49 @@ def test_rns_engine_pallas_stage2_sharded(tmp_path):
     assert (P35, 2, 112) in got
 
 
+def test_rns_replay_stream_kernel_value_parity():
+    """RNS stream replay kernel (manual DMA pipeline, packed idx, dynamic
+    count) vs the jnp replay_segment reference — the RNS twin of the digit
+    kernel's contract: pads multiply by sub(one, 0) (a multiple-of-N
+    offset), short counts stop early, unroll tails stay exact mod n."""
+    ctx, h, curves, tape, pts, sc = _setup(N256, 60, 128)
+    del tape, sc
+    rng = random.Random(7)
+    n = ctx.n_int
+    b = 128
+    # T - 2 real entries = 8: the jnp reference's balanced product tree
+    # needs a power-of-two count (exec.py's jnp path pads to one)
+    PA, PB, T = 9, 7, 10
+
+    def mk(rows):
+        return np.stack([h.pack([h.to_mont_int(rng.randrange(n))
+                                 for _ in range(b)]) for _ in range(rows)])
+
+    pa, pb = mk(PA), mk(PB)
+    pa[-1] = h.pack([h.to_mont_int(1)] * b)
+    pb[0] = 0
+    acc0 = h.pack([h.to_mont_int(rng.randrange(n)) for _ in range(b)])
+    pav = np.sort(np.array([rng.randrange(PA - 1) for _ in range(T - 2)]))
+    idx = np.stack([np.concatenate([pav, [PA - 1, PA - 1]]),
+                    np.array([rng.randrange(1, PB) for _ in range(T - 2)]
+                             + [0, 0])], 1).astype(np.int32)
+    ref = rns_exec.replay_segment(jnp.asarray(acc0), jnp.asarray(pa),
+                                  jnp.asarray(pb),
+                                  jnp.asarray(idx[:T - 2]), h.dev)
+    want = [v % n for v in h.unpack(np.asarray(ref))]
+    packed = ((idx[:, 0] << 16) | idx[:, 1]).astype(np.int32)
+    for unroll in (1, 4):
+        run = rns_exec.make_rns_replay_stream_executor(
+            h, b, PA, PB, t_block=T, n_buffers=3, unroll=unroll,
+            interpret=True)
+        for count in (T - 2, T):
+            flat = np.concatenate([[np.int32(count)], packed])
+            got = [v % n for v in h.unpack(np.asarray(
+                run(jnp.asarray(acc0), jnp.asarray(pa), jnp.asarray(pb),
+                    jnp.asarray(flat))))]
+            assert got == want, (count, unroll)
+
+
 def test_rns_engine_1536bit_stage2_find(tmp_path):
     """Large-moduli end-to-end: a 1535-bit input (P35 x P1500) on the RNS
     engine — stage-1 AND stage-2 arithmetic run the split/MXU formulation —
@@ -180,6 +224,7 @@ def test_rns_engine_1536bit_stage2_find(tmp_path):
                for h in res.factors), res.factors
 
 
+@pytest.mark.slow
 def test_huge_modulus_host_only_geometry_routes_to_rns(tmp_path):
     """> ~2000 bits no int32 digit-plane radix exists: make_monty must fall
     back to a host-only geometry (device_ok=False) instead of raising, the

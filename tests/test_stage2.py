@@ -446,6 +446,73 @@ def test_replay_stream_kernel_value_parity():
                 assert got[i] % n == ref[i] % n, (count, unroll, i)
 
 
+def test_replay_stream_packed_value_parity():
+    """Dense-packed Pb variant of the stream kernel: pack_replay_rows wraps
+    each row's (possibly lazy, possibly negative) value mod R into canonical
+    32-bit words; the kernel unpacks with a sign-extended top digit.
+    Results must be value-identical to the unpacked kernel/jnp reference —
+    including rows stored in non-canonical digit form and a negative-value
+    row (both occur in real pbx planes: mulmod outputs are lazy, diffs can
+    be value-negative)."""
+    import random
+    import jax.numpy as jnp
+    from tpu_ecm.limbs import jnp_ops, layout, pallas_ops
+    n = 2545580083 * 2551628647
+    ctx = params.make_monty(n)
+    dctx = jnp_ops.device_ctx(ctx)
+    p = ctx.p
+    b = 128
+    rng = random.Random(11)
+    PA, PB, T = 17, 9, 16
+
+    def mk(rows):
+        return np.stack([layout.pack_batch(
+            [rng.randrange(n) for _ in range(b)], p.w, p.nw)
+            for _ in range(rows)])
+
+    pa, pb = mk(PA), mk(PB)
+    pa[-1] = layout.broadcast_int(ctx.r_mod_n, p.w, p.nw, b)
+    pb[0] = 0
+    # de-canonicalize pb row 2 (value-preserving lazy form: dig[j] -= 2^w,
+    # dig[j+1] += 1) and make row 1 a negative-VALUE row
+    pb[2, 0] -= 1 << p.w
+    pb[2, 1] += 1
+    pb[1] = 0
+    pb[1, 0] = -7
+    # pack -> unpack roundtrip must reproduce every row's exact value
+    pbp = np.asarray(pallas_ops.pack_replay_rows(ctx, jnp.asarray(pb)))
+    assert pbp.shape == (PB, pallas_ops.packed_words(p), b)
+    import jax
+    unpack = jax.jit(pallas_ops._make_unpack(p))
+    for r in range(PB):
+        want = layout.unpack_batch(pb[r], p.w)
+        got = layout.unpack_batch(np.asarray(unpack(jnp.asarray(pbp[r]))),
+                                  p.w)
+        assert got == want, r
+
+    acc0 = layout.pack_batch([rng.randrange(n) for _ in range(b)], p.w, p.nw)
+    pav = np.sort(np.array([rng.randrange(PA - 1) for _ in range(T - 2)]))
+    idx = np.stack([np.concatenate([pav, [PA - 1, PA - 1]]),
+                    np.array([rng.randrange(1, PB) for _ in range(T - 2)]
+                             + [0, 0])], 1).astype(np.int32)
+    acc = jnp.asarray(acc0)
+    for v, u in idx.tolist()[:T - 2]:
+        acc = jnp_ops.mulmod(acc, jnp.asarray(pa[v] - pb[u]), dctx)
+    ref = layout.unpack_batch(np.asarray(acc), p.w)
+    packed = ((idx[:, 0] << 16) | idx[:, 1]).astype(np.int32)
+    for unroll in (1, 4):
+        run = pallas_ops.make_replay_stream_executor(
+            ctx, b, PA, PB, t_block=T, n_buffers=3, unroll=unroll,
+            packed=True, interpret=True)
+        for count in (T - 2, T):
+            flat = np.concatenate([[np.int32(count)], packed])
+            got = layout.unpack_batch(np.asarray(
+                run(jnp.asarray(acc0), jnp.asarray(pa), jnp.asarray(pbp),
+                    jnp.asarray(flat))), p.w)
+            for i in range(b):
+                assert got[i] % n == ref[i] % n, (count, unroll, i)
+
+
 def test_replay_resident_kernel_value_parity():
     """VMEM-resident replay kernel (manual-DMA Pb slab + dynamic row index)
     vs the sequential jnp reference — same contract as the gather kernel,
@@ -487,6 +554,7 @@ def test_replay_resident_kernel_value_parity():
         assert got[i] % n == ref[i] % n, i
 
 
+@pytest.mark.slow
 def test_stage2_replay_resident_runner_parity(monkeypatch):
     """Full Stage2Runner in resident-replay mode with the slab budget forced
     to one Pb row per slab (maximum partitioning: every slab remap, pad, and
@@ -528,6 +596,15 @@ def test_stage2_replay_resident_runner_parity(monkeypatch):
     assert got.acc == ref.acc
     assert got.factors == ref.factors
     assert got.paired == ref.paired
+
+    # stream mode with dense-packed Pb rows: canonical-mod-R repack of the
+    # pbx planes must leave every canonical accumulator (and factor find)
+    # identical — the value-exactness contract of pack_replay_rows
+    monkeypatch.setenv("TPU_ECM_REPLAY_PACKED", "1")
+    got_pk = run("stream")
+    assert got_pk.acc == ref.acc
+    assert got_pk.factors == ref.factors
+    assert got_pk.paired == ref.paired
 
 
 def test_pair_fuzz_random_bounds():

@@ -5,7 +5,7 @@ Used to place BLOCKED_NW (flat-vs-blocked crossover) and driver.RNS_MIN_BITS
 quoted in BENCH_NOTES.md.  Run on the TPU:
 
     PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_large_moduli.py \
-        [-rns|-both] [-bw 4,8,16] [-force flat|blocked] [-kb] [nbits ...]
+        [-rns|-both] [-bw 4,8,16] [-force flat|blocked] [nbits ...]
 """
 
 import os
@@ -45,14 +45,9 @@ def main():
         i = args.index("-force")
         force = args[i + 1]
         del args[i:i + 2]
-    if "-kb" in args:                 # hybrid kara+blocked REDC schedule
-        args.remove("-kb")
-        pallas_ops.BLOCKED_KARA = True
-    kab = False
-    if "-kab" in args:                # interleaved same-session A/B:
-        args.remove("-kab")           # blocked vs kara+blocked, best-of-3
-        kab = True                    # each, alternating (tunnel-variance
-                                      # robust; settles VERDICT r2 item 5)
+    # (-kb/-kab, the hybrid kara+blocked schedule and its interleaved A/B,
+    # were removed after the round-4 idle-chip A/B: kara lost 2 of 3 sizes
+    # — 840 +8.9%, 1008 -1.8%, 1200 +2.5% — so the schedule was deleted.)
     sizes = [int(a) for a in args] or [605, 999]
     b1 = 3000
     tape = prac.stage1_tape(primes_range(0, b1), b1)
@@ -103,35 +98,6 @@ def main():
                 [c.s_mont for c in curves], p.w, p.nw))
             sched = ("blocked" if p.nw > pallas_ops.BLOCKED_NW else
                      ("kara" if p.nw >= pallas_ops.KARA_NW else "school"))
-            if kab and sched == "blocked":
-                # one compile per variant, then alternate timed runs so
-                # both see the same tunnel-load minutes; best-of-3 each
-                runs, outs = {}, {}
-                for kb in (False, True):
-                    pallas_ops.BLOCKED_KARA = kb
-                    runs[kb] = pallas_ops.make_tape_executor(ctx, batch)
-                    outs[kb] = runs[kb](jnp.asarray(pts), tape, s_const)
-                    _ = np.asarray(outs[kb][0, 0, :1])   # compile under kb
-                best = {False: float("inf"), True: float("inf")}
-                for _rep in range(3):
-                    for kb in (False, True):
-                        pallas_ops.BLOCKED_KARA = kb
-                        t0 = time.time()
-                        outs[kb] = runs[kb](outs[kb], tape, s_const)
-                        _ = np.asarray(outs[kb][0, 0, :1])
-                        best[kb] = min(best[kb], time.time() - t0)
-                for kb in (False, True):
-                    dt = best[kb] / steps
-                    print(f"nbits={nbits} nw={p.nw} w={p.w} batch={batch} "
-                          f"sched=blocked bw={pallas_ops.BLOCKED_BW}"
-                          f"{' kara' if kb else ''}: "
-                          f"{dt*1e6:.1f} us/point-op "
-                          f"({dt*1e9/batch:.1f} ns/curve)", flush=True)
-                win = "kara" if best[True] < best[False] else "blocked"
-                print(f"nbits={nbits} A/B winner: {win} "
-                      f"({best[True]/best[False]*100 - 100:+.1f}% kara vs "
-                      f"blocked)", flush=True)
-                continue
             for bw in (bws if sched == "blocked" else bws[:1]):
                 pallas_ops.BLOCKED_BW = bw
                 run = pallas_ops.make_tape_executor(ctx, batch)
@@ -142,10 +108,9 @@ def main():
                 _ = np.asarray(out[0, 0, :1])
                 dt = (time.time() - t0) / steps
                 bwtag = f" bw={bw}" if sched == "blocked" else ""
-                kbtag = " kara" if pallas_ops.BLOCKED_KARA else ""
                 print(f"nbits={nbits} nw={p.nw} w={p.w} "
                       f"norm={p.norm_inputs} batch={batch} "
-                      f"sched={sched}{bwtag}{kbtag}: {dt*1e6:.1f} us/point-op "
+                      f"sched={sched}{bwtag}: {dt*1e6:.1f} us/point-op "
                       f"({dt*1e9/batch:.1f} ns/curve)", flush=True)
 
         if mode in ("rns", "both"):

@@ -5,11 +5,16 @@ B1/B2 passed" regimes, one decade past the round-1 validations):
   b1 mode:   B1=1.1e8 stage 1, 2048 curves (the reference's huge-B1 bound)
   b1b2 mode: the reference's own huge-B1 row verbatim
              (/root/reference/test.csh:34): its 512-bit input, B1=1.1e8,
-             B2=1.34e10, pinned sigma 1954032792 at vec 0 — the largest
+             B2=1.34e10, pinned sigma 1954032792 at vec 0 — the largest-B1
              regime the reference ever validated, end-to-end.
+  row37/row38/row39 modes: the reference's three "#huge B2 passed" rows
+             verbatim (/root/reference/test.csh:37-39): B2 = 1.6e10,
+             1.64e11 and 1.21e11 with their pinned sigmas at vec 0.
+             row38 (B2=1.64e11, ~1640 streamed 1e8-prime chunks) is the
+             largest bound the reference ever validated anywhere.
 
 Pass criterion matches the reference's (completion + internal consistency
-+ savefile written; b1b2 additionally expects a factor at the pinned
++ savefile written; b1b2/rowNN additionally expect a factor at the pinned
 sigma).  Wall/counters and the host sieve+pair share of stage-2 wall are
 recorded for BENCH_NOTES.md."""
 
@@ -27,6 +32,23 @@ N_HUGE_B1 = int(
     "893373019289189")
 SIGMA_HUGE_B1 = 1954032792
 
+# /root/reference/test.csh:37-39 (the "#huge B2 passed" rows): one pinned
+# (N, B1, B2, sigma) tuple per row, sigma at vec 0
+HUGE_B2_ROWS = {
+    "row37": (int("2762493633765305234092806397173152623813537814660432536"
+                  "5579207066042928979902960435124574389222424508047307006"
+                  "9478798426088869000784041"),
+              7_000_000, 16_000_000_000, 2708170207),
+    "row38": (int("1464101628306218327243090276822854018935464651910463764"
+                  "0662149790336339306363624462717551269716231642009833321"
+                  "75440071790729516180679"),
+              9_000_000, 164_000_000_000, 1473889351),
+    "row39": (int("1446868911475526178006255468697829417416292492061884429"
+                  "1513286842556497012589538616502354515650136548008914400"
+                  "095566281995954429761413127417"),
+              8_000_000, 121_000_000_000, 3152455236),
+}
+
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "b2"
@@ -38,6 +60,9 @@ def main():
     elif mode == "b1b2":
         b1, b2 = 110_000_000, 13_400_000_000
         n, sigma = N_HUGE_B1, SIGMA_HUGE_B1
+    elif mode in HUGE_B2_ROWS:
+        n, b1, b2, sigma = HUGE_B2_ROWS[mode]
+        curves = 128       # one lane tile, like the hardware refsweep
     else:
         b1, b2 = 110_000_000, 110_000_000
     with tempfile.TemporaryDirectory() as td:
@@ -68,9 +93,11 @@ def main():
         for h in res.factors:
             print(f"factor {h.factor} stage {h.stage} sigma {h.sigma}")
     assert len(res.stage1_residues) == curves
-    if mode == "b1b2":
+    if mode == "b1b2" or mode in HUGE_B2_ROWS:
         assert any(h.sigma == sigma for h in res.factors), \
-            "reference row test.csh:34 finds a factor at the pinned sigma"
+            f"reference row {mode} finds a factor at the pinned sigma"
+        for h in res.factors:
+            assert n % h.factor == 0 and 1 < h.factor < n
     print("huge-bound run: COMPLETED")
 
 

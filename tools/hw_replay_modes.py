@@ -92,6 +92,13 @@ if os.environ.get("RM_SWEEP"):       # "mode:e[:blk[:ur]],..."
                                       .split(",")))
 SWEEP = tuple(t if len(t) == 4 else t + ("",) for t in SWEEP)
 for mode, e, blk, ur in SWEEP:
+    # pseudo-mode "streampk": the stream kernel with dense-packed Pb rows
+    # (TPU_ECM_REPLAY_PACKED=1; pallas_ops.pack_replay_rows)
+    if mode == "streampk":
+        os.environ["TPU_ECM_REPLAY_PACKED"] = "1"
+        mode = "stream"
+    else:
+        os.environ.pop("TPU_ECM_REPLAY_PACKED", None)
     os.environ["TPU_ECM_REPLAY"] = mode
     # for stream, e is the buffer depth (NB); otherwise entries/step
     os.environ["TPU_ECM_REPLAY_E" if mode != "stream"
@@ -105,7 +112,9 @@ for mode, e, blk, ur in SWEEP:
     else:
         os.environ.pop("TPU_ECM_REPLAY_UNROLL", None)
     ec = {}
-    tag = f"{mode} {'NB' if mode == 'stream' else 'E'}={e}" \
+    pk = os.environ.get("TPU_ECM_REPLAY_PACKED")
+    tag = f"{mode}{'(packed)' if pk else ''} " \
+        f"{'NB' if mode == 'stream' else 'E'}={e}" \
         + (f" blk={blk}" if blk else "") + (f" ur={ur}" if ur else "")
     try:
         warm, res = stage2_pass(ec)

@@ -61,14 +61,13 @@ KARA_MIN = 10
 # large-moduli sweep (tools/bench_large_moduli.py) can tune it per nw
 BLOCKED_BW = 8
 
-# hybrid schedule for the blocked regime: precompute the a*b column sums
-# with recursive Karatsuba (~20% fewer MACs than the inline schoolbook
-# sums) and feed them into the blocked REDC walk, which consumes them in
-# block order — unlike the flat schedule, the reduction's live window
-# stays BW columns.  Whether the kara interior's own spill eats the MAC
-# saving is an empirical question per nw (tools/bench_large_moduli.py
-# -kb); bit-exact either way (same assembled integers)
-BLOCKED_KARA = False
+# A hybrid kara+blocked REDC schedule (Karatsuba a*b column sums feeding
+# the blocked walk) was built and A/B'd on an idle chip (round 4,
+# tools/bench_large_moduli.py interleaved best-of-3): kara lost at 840
+# bits (+8.9%) and 1200 bits (+2.5%), won only at 1008 (-1.8%) — the kara
+# interior's register spill eats the ~20% MAC saving in the blocked
+# regime.  The schedule was deleted (VERDICT r3 item 6); Karatsuba remains
+# the flat-path default (KARA_NW/KARA_MIN above).
 
 
 def default_batch(ctx: MontyCtx, max_batch: int = 2048) -> int:
@@ -319,16 +318,14 @@ def _make_arith(ctx: MontyCtx):
                 cols[i + 1] = cols[i + 1] + jnp.right_shift(cols[i], w)
             return jnp.stack(lazy_list(cols[nw:2 * nw]))
 
-        def mont_blocked(ar, br, ab_cols=None):
+        def mont_blocked(ar, br):
             """Blocked CIOS: pass 1 walks the low columns in BW blocks to
             produce the quotient digits s[0..nw) and the carry into column
             nw; pass 2 accumulates the high columns (a*b + s*n) per block.
             Identical digit values to product_cols+reduce_cols (int32
             wrapping addition is commutative), ~BW live accumulators.
             br=None squares via the symmetric _ab_col sums (same integers,
-            half the a*b MACs) while keeping the blocked register window.
-            ab_cols (BLOCKED_KARA): precomputed a*b column sums — same
-            integers again, consumed in block order."""
+            half the a*b MACs) while keeping the blocked register window."""
             zero = jnp.zeros_like(ar[0])
             s = [None] * nw
             carry = zero
@@ -336,8 +333,7 @@ def _make_arith(ctx: MontyCtx):
                 hi = min(nw, lo + BW)
                 t = [zero] * (hi - lo)
                 for c in range(lo, hi):
-                    u = ab_cols[c] if ab_cols is not None \
-                        else _ab_col(ar, br, c)
+                    u = _ab_col(ar, br, c)
                     if u is not None:
                         t[c - lo] = t[c - lo] + u
                     for i in range(0, lo):
@@ -360,8 +356,7 @@ def _make_arith(ctx: MontyCtx):
                 hi = min(2 * nw, lo + BW)
                 t = [zero] * (hi - lo)
                 for c in range(lo, hi):
-                    u = ab_cols[c] if ab_cols is not None \
-                        else _ab_col(ar, br, c)
+                    u = _ab_col(ar, br, c)
                     if u is not None:
                         t[c - lo] = t[c - lo] + u
                     for i in range(max(0, c - nw + 1), nw):
@@ -391,8 +386,6 @@ def _make_arith(ctx: MontyCtx):
             ar = lazy_list(ar, passes=1)
             br = lazy_list(br, passes=1)
         if blocked and not ctx.is_mersenne:
-            if BLOCKED_KARA:
-                return mont_blocked(ar, br, ab_cols=_kara_cols(ar, br))
             return mont_blocked(ar, br)
         if blocked:
             return reduce_cols(product_cols_blocked(ar, br))
@@ -408,8 +401,6 @@ def _make_arith(ctx: MontyCtx):
             # blocked register window AND square symmetry: _ab_col with
             # br=None emits the mirrored-pair sums doubled (bit-identical
             # integers, ~half the a*b MACs of the mul path)
-            if BLOCKED_KARA:
-                return mont_blocked(ar, None, ab_cols=_kara_cols(ar, None))
             return mont_blocked(ar, None)
         if blocked:
             return reduce_cols(product_cols_blocked(ar, None))
@@ -865,9 +856,84 @@ def make_replay_parow_executor(ctx: MontyCtx, batch: int, pa_rows: int,
         out_specs=P(None, ax))
 
 
+def packed_words(p) -> int:
+    """32-bit words per dense-packed row: the full nw*w digit span (values
+    are lazy — up to ~2n with signed digits — so pack value mod R over all
+    nw*w bits and recover the sign from the top bit at unpack)."""
+    return -(-(p.nw * p.w) // 32)
+
+
+def pack_replay_rows(ctx: MontyCtx, rows):
+    """[R, nw, B] lazy digit planes -> [R, npw, B] dense 32-bit words.
+
+    Replay DMA volume is nw words/curve/entry at ~w useful bits per 32-bit
+    word (w=12 -> 37% density).  Packing to full density cuts the streamed
+    Pb bytes by nw/npw (2.57x at the 416-bit flagship) for ~4 extra VPU ops
+    per digit at unpack — noise next to the mulmod.  Encoding: canonicalize
+    digits (carry-propagate, value preserved mod R = 2^(nw*w)); the final
+    carry is dropped, so a negative-value row wraps mod R and the kernel
+    sign-extends the top digit (|value| < 2n << R/2, the select_radix
+    R >= 16*N guarantee).  Unpacked digits assemble to the exact stored
+    integer, so replay results are value-identical to the unpacked kernel
+    (REDC quotient digits depend only on operand VALUES, not on their digit
+    decomposition)."""
+    p = ctx.p
+    w, nw, mask = p.w, p.nw, p.mask
+    npw = packed_words(p)
+    carry = None
+    canon = []
+    for j in range(nw):
+        t = rows[:, j] if carry is None else rows[:, j] + carry
+        canon.append(jnp.bitwise_and(t, mask))
+        carry = jnp.right_shift(t, w)       # arithmetic: negative ok
+    words = [None] * npw
+    for j in range(nw):
+        k, s = divmod(j * w, 32)
+        lo = jnp.left_shift(canon[j], s) if s else canon[j]
+        words[k] = lo if words[k] is None else jnp.bitwise_or(words[k], lo)
+        if s + w > 32:
+            hi = jnp.right_shift(canon[j], 32 - s)
+            words[k + 1] = hi if words[k + 1] is None \
+                else jnp.bitwise_or(words[k + 1], hi)
+    zero = jnp.zeros_like(canon[0])
+    return jnp.stack([zero if x is None else x for x in words], axis=1)
+
+
+def _make_unpack(p):
+    """Digit extraction matching pack_replay_rows: [npw, ...] words ->
+    [nw, ...] canonical planes, top digit sign-extended (w-1 is the sign
+    bit of the mod-R value)."""
+    w, nw, mask = p.w, p.nw, p.mask
+
+    def unpack(pbq):
+        digs = []
+        for j in range(nw):
+            k, s = divmod(j * w, 32)
+            if s == 0:
+                d = jnp.bitwise_and(pbq[k], mask)
+            elif s + w <= 32:
+                # arithmetic >> then & mask: sign fill sits above bit w
+                d = jnp.bitwise_and(jnp.right_shift(pbq[k], s), mask)
+            else:
+                lo = jnp.bitwise_and(jnp.right_shift(pbq[k], s),
+                                     (1 << (32 - s)) - 1)
+                hi = jnp.left_shift(
+                    jnp.bitwise_and(pbq[k + 1], (1 << (s + w - 32)) - 1),
+                    32 - s)
+                d = jnp.bitwise_or(lo, hi)
+            digs.append(d)
+        top = digs[nw - 1]
+        digs[nw - 1] = top - jnp.left_shift(
+            jnp.right_shift(top, w - 1), w)
+        return jnp.stack(digs)
+
+    return unpack
+
+
 def make_replay_stream_executor(ctx: MontyCtx, batch: int, pa_rows: int,
                                 pb_rows: int, t_block: int = 65536,
                                 n_buffers: int = 8, unroll: int = 1,
+                                packed: bool = False,
                                 interpret: bool = False, sharder=None):
     """Replay with a MANUAL deep DMA pipeline (the round-3 kernel).
 
@@ -891,9 +957,17 @@ def make_replay_stream_executor(ctx: MontyCtx, batch: int, pa_rows: int,
         entry.  Packing halves SMEM so 128k-entry blocks fit the 1 MB
         budget.  Pad entries with (pa_rows-1) << 16 | 0: pa_ext[-1] is the
         Montgomery one and pbx[0] the zero row (gather-kernel convention).
+
+    packed=True streams DENSE-packed Pb rows (pack_replay_rows: [pb_rows,
+    npw, B] 32-bit words instead of [pb_rows, nw, B] w-bit digit planes),
+    unpacking in-register after each row DMA — nw/npw (~2.6x) less HBM
+    traffic per entry for ~4 VPU ops per digit.  Value-identical results
+    (see pack_replay_rows).
     """
     p = ctx.p
     nw = p.nw
+    pb_nw = packed_words(p) if packed else nw
+    unpack_pb = _make_unpack(p) if packed else (lambda x: x)
     bs = _local_batch(batch, sharder) // LANE
     NB = n_buffers
     assert t_block >= NB
@@ -934,7 +1008,7 @@ def make_replay_stream_executor(ctx: MontyCtx, batch: int, pa_rows: int,
                 cpa.wait()
 
             pb_copy(k, slot).wait()
-            d = norm1(pa_buf[...] - pb_buf[slot])
+            d = norm1(pa_buf[...] - unpack_pb(pb_buf[slot]))
             acc_scr[...] = mulmod(acc_scr[...], d, pre=True)
 
             @pl.when(k + NB < count)
@@ -975,7 +1049,7 @@ def make_replay_stream_executor(ctx: MontyCtx, batch: int, pa_rows: int,
         ],
         out_specs=pl.BlockSpec((nw, bs, LANE), lambda i, idx: (0, 0, 0)),
         scratch_shapes=[pltpu.VMEM((nw, bs, LANE), jnp.int32),
-                        pltpu.VMEM((NB, nw, bs, LANE), jnp.int32),
+                        pltpu.VMEM((NB, pb_nw, bs, LANE), jnp.int32),
                         pltpu.VMEM((nw, bs, LANE), jnp.int32),
                         pltpu.SemaphoreType.DMA(()),
                         pltpu.SemaphoreType.DMA((NB,))],
@@ -994,7 +1068,7 @@ def make_replay_stream_executor(ctx: MontyCtx, batch: int, pa_rows: int,
         bl = acc.shape[-1]
         acc4 = acc.reshape(nw, bl // LANE, LANE)
         pa4 = pa_ext.reshape(pa_rows, nw, bl // LANE, LANE)
-        pb4 = pbx.reshape(pb_rows, nw, bl // LANE, LANE)
+        pb4 = pbx.reshape(pb_rows, pb_nw, bl // LANE, LANE)
         out = call(idx, pa4, pb4, acc4)
         return out.reshape(nw, bl)
 

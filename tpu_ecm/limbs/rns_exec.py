@@ -489,6 +489,130 @@ def make_rns_replay_executor(host: rns.RnsHost, batch: int, pa_rows: int,
     return lambda acc, pa_ext, pbx, idx: run(acc, pa_ext, pbx, idx, *leaves)
 
 
+def make_rns_replay_stream_executor(host: rns.RnsHost, batch: int,
+                                    pa_rows: int, pb_rows: int,
+                                    t_block: int = 65536,
+                                    n_buffers: int = 8, unroll: int = 1,
+                                    interpret: bool = False, sharder=None):
+    """Pairmap replay with the manual deep-DMA pipeline — the RNS twin of
+    pallas_ops.make_replay_stream_executor (VERDICT r3 item 4: the RNS
+    replay had none of the digit path's dispatch tuning; this gives it the
+    same ONE-grid-step-per-64k-block structure, so per-pallas-call host
+    dispatch (~13.7 ms through the tunnel) amortizes over t_block entries
+    instead of t_block/E).
+
+    Same idx contract as the digit stream kernel: idx[0] = live entry
+    count, then (pa << 16 | pb) packed entries; the shared Pa row re-
+    fetches only on giant-step change (v-sorted stream); pads multiply by
+    sub(one, zero) = one + F — a multiple-of-N offset the RNS value
+    convention already carries, so canonical accumulators are unchanged
+    (/root/reference/ecm.c:2448-2532 is the loop being replayed)."""
+    rows = host.dev.rows
+    loc = _local_batch(batch, sharder)
+    NB = n_buffers
+    assert t_block >= NB
+    assert pa_rows <= (1 << 16) and pb_rows <= (1 << 16)
+    leaves, rebuild = _ctx_io(host)
+    nl = len(leaves)
+
+    def kernel(idx_ref, *refs):
+        rc = rebuild(refs[:nl])
+        pa_hbm, pb_hbm, acc_in = refs[nl], refs[nl + 1], refs[nl + 2]
+        acc_out = refs[nl + 3]
+        pa_buf, pb_buf, acc_scr, pa_sem, pb_sems = refs[nl + 4:]
+        count = idx_ref[0]
+
+        def pb_copy(k, slot):
+            u = jnp.bitwise_and(idx_ref[1 + k], 0xFFFF)
+            return pltpu.make_async_copy(pb_hbm.at[u], pb_buf.at[slot],
+                                         pb_sems.at[slot])
+
+        def pa_copy(k):
+            i = jnp.right_shift(idx_ref[1 + k], 16)
+            return pltpu.make_async_copy(pa_hbm.at[i], pa_buf, pa_sem)
+
+        acc_scr[...] = acc_in[...]
+        cp = pa_copy(0)
+        cp.start()
+        cp.wait()
+        for k in range(NB):                      # static warm-up
+            pb_copy(k, k).start()
+
+        def entry(k):
+            slot = jax.lax.rem(k, NB)
+
+            @pl.when(jnp.logical_and(
+                k > 0, jnp.right_shift(idx_ref[1 + k], 16)
+                != jnp.right_shift(idx_ref[jnp.maximum(k, 1)], 16)))
+            def _():
+                cpa = pa_copy(k)
+                cpa.start()
+                cpa.wait()
+
+            pb_copy(k, slot).wait()
+            d = rns.sub(pa_buf[...], pb_buf[slot], rc)
+            acc_scr[...] = rns.mont_mul(acc_scr[...], d, rc)
+
+            @pl.when(k + NB < count)
+            def _():
+                pb_copy(k + NB, slot).start()
+
+        def body(k, _):
+            entry(k)
+            return 0
+
+        if unroll <= 1:
+            jax.lax.fori_loop(0, count, body, 0, unroll=False)
+        else:
+            U = unroll
+
+            def body_u(t, _):
+                base = t * U
+                for s in range(U):
+                    entry(base + s)
+                return 0
+
+            main = (count // U) * U
+            jax.lax.fori_loop(0, count // U, body_u, 0, unroll=False)
+            jax.lax.fori_loop(main, count, body, 0, unroll=False)
+        acc_out[...] = acc_scr[...]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=_leaf_specs(leaves, 2) + [
+            pl.BlockSpec(memory_space=pl.ANY),       # pa_ext stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),       # pbx stays in HBM
+            pl.BlockSpec((rows, loc), lambda i, idx: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((rows, loc), lambda i, idx: (0, 0)),
+        scratch_shapes=[pltpu.VMEM((rows, loc), jnp.int32),
+                        pltpu.VMEM((NB, rows, loc), jnp.int32),
+                        pltpu.VMEM((rows, loc), jnp.int32),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA((NB,))],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, loc), jnp.int32),
+        interpret=interpret,
+        compiler_params=_params(interpret),
+    )
+
+    def body(acc, pa_ext, pbx, idx, *leaf_args):
+        return call(idx, *leaf_args, pa_ext, pbx, acc)
+
+    ax = sharder.axis_name if sharder is not None else None
+    run = _jit_maybe_sharded(
+        body, sharder,
+        in_specs=(P(None, ax), P(None, None, ax), P(None, None, ax),
+                  P(None)) + (P(),) * nl,
+        out_specs=P(None, ax))
+    return lambda acc, pa_ext, pbx, idx: run(acc, pa_ext, pbx, idx, *leaves)
+
+
 def make_rns_tape_executor(host: rns.RnsHost, batch: int, chunk: int = 4096,
                            interpret: bool = False, sharder=None):
     """Returns run(pts [S,2,rows,B], tape [T,5], s_const [rows,B]) -> pts.
@@ -630,3 +754,11 @@ class RnsOps:
                                         entries_per_step=entries_per_step,
                                         sharder=self.sharder,
                                         interpret=self.interpret)
+
+    def make_replay_stream(self, b, pa_rows, pb_rows, t_block, n_buffers,
+                           unroll=1, packed=False):
+        assert not packed   # dense digit packing is a digit-plane concept
+        return make_rns_replay_stream_executor(
+            self.host, b, pa_rows=pa_rows, pb_rows=pb_rows, t_block=t_block,
+            n_buffers=n_buffers, unroll=unroll, sharder=self.sharder,
+            interpret=self.interpret)

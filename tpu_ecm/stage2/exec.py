@@ -30,6 +30,7 @@ with the TPU host/device split:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 import os
 from typing import Dict, List, Optional, Tuple
@@ -339,12 +340,17 @@ class DigitOps:
             interpret=self.interpret)
 
     def make_replay_stream(self, b, pa_rows, pb_rows, t_block, n_buffers,
-                           unroll=1):
+                           unroll=1, packed=False):
         from ..limbs import pallas_ops
         return pallas_ops.make_replay_stream_executor(
             self.ctx, b, pa_rows=pa_rows, pb_rows=pb_rows, t_block=t_block,
-            n_buffers=n_buffers, unroll=unroll, sharder=self.sharder,
-            interpret=self.interpret)
+            n_buffers=n_buffers, unroll=unroll, packed=packed,
+            sharder=self.sharder, interpret=self.interpret)
+
+    def pack_replay_rows(self, rows):
+        from ..limbs import pallas_ops
+        return jax.jit(functools.partial(pallas_ops.pack_replay_rows,
+                                         self.ctx))(rows)
 
 
 # ---------------------------------------------------------------------------
@@ -872,14 +878,26 @@ class Stage2Runner:
         G = self.pa_group
         nb = int(os.environ.get("TPU_ECM_REPLAY_NB", "16"))
         ur = int(os.environ.get("TPU_ECM_REPLAY_UNROLL", "1"))
+        # dense-packed Pb rows: nw/npw (~2.6x) less DMA per entry, value-
+        # identical results (pallas_ops.pack_replay_rows); one pack pass
+        # per runner, amortized over every chunk's replay
+        pk = (os.environ.get("TPU_ECM_REPLAY_PACKED", "0") != "0"
+              and hasattr(self.ops, "pack_replay_rows"))
         tb = self.replay_block      # 64k packed entries = 256 KB SMEM
         key = (self._ek, "replay_stream", G + 1, int(self.pbx.shape[0]),
-               tb, nb, ur)
+               tb, nb, ur, pk)
         if key not in self._cache:
             self._cache[key] = self.ops.make_replay_stream(
                 self.b, pa_rows=G + 1, pb_rows=int(self.pbx.shape[0]),
-                t_block=tb, n_buffers=nb, unroll=ur)
+                t_block=tb, n_buffers=nb, unroll=ur, packed=pk)
         replay = self._cache[key]
+        if pk:
+            if getattr(self, "_pbx_packed_of", None) is not self.pbx:
+                self._pbx_packed = self.ops.pack_replay_rows(self.pbx)
+                self._pbx_packed_of = self.pbx
+            pbx = self._pbx_packed
+        else:
+            pbx = self.pbx
         packed = ((idx[:, 0].astype(np.int64) << 16)
                   | idx[:, 1].astype(np.int64)).astype(np.int32)
         for lo in range(0, packed.shape[0], tb):
@@ -893,7 +911,7 @@ class Stage2Runner:
                     [blk, np.full(tb - blk.shape[0], np.int32(G << 16),
                                   dtype=np.int32)])
             blk = np.concatenate([[np.int32(count)], blk])
-            self.acc = replay(self.acc, pa_inv_ext, self.pbx,
+            self.acc = replay(self.acc, pa_inv_ext, pbx,
                               jnp.asarray(blk))
 
     def _replay_noinv(self, pa_ext, idx: np.ndarray):
