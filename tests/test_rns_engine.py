@@ -195,16 +195,16 @@ def test_rns_replay_stream_kernel_value_parity():
                                   jnp.asarray(idx[:T - 2]), h.dev)
     want = [v % n for v in h.unpack(np.asarray(ref))]
     packed = ((idx[:, 0] << 16) | idx[:, 1]).astype(np.int32)
-    for unroll in (1, 4):
+    for unroll, n_acc in ((1, 1), (4, 1), (1, 3)):
         run = rns_exec.make_rns_replay_stream_executor(
             h, b, PA, PB, t_block=T, n_buffers=3, unroll=unroll,
-            interpret=True)
+            n_acc=n_acc, interpret=True)
         for count in (T - 2, T):
             flat = np.concatenate([[np.int32(count)], packed])
             got = [v % n for v in h.unpack(np.asarray(
                 run(jnp.asarray(acc0), jnp.asarray(pa), jnp.asarray(pb),
                     jnp.asarray(flat))))]
-            assert got == want, (count, unroll)
+            assert got == want, (count, unroll, n_acc)
 
 
 def test_rns_engine_1536bit_stage2_find(tmp_path):

@@ -69,6 +69,10 @@ def stage2_pass(cache_dict):
                                  use_pallas=True,
                                  executor_cache=cache_dict)
     runner.init()
+    if os.environ.get("RM_SPLIT"):       # init vs replay attribution
+        np.asarray(runner.acc[0, :1])    # sync
+        t_init = time.time() - t0
+        print(f"#   init={t_init:.2f}s", flush=True)
     for lo, hi, (map_v, map_u, amin0, _s) in chunks:
         runner.run_chunk(map_v, map_u, amin0)
     res = runner.result()
@@ -84,14 +88,15 @@ if os.environ.get("RM_ALL"):
     SWEEP += (("gather", 8, ""), ("parow", 16, ""), ("parow", 32, ""),
               ("parow", 8, ""), ("parow", 64, ""), ("resident", 8, ""),
               ("resident", 8, "65536"), ("resident", 16, ""))
-if os.environ.get("RM_SWEEP"):       # "mode:e[:blk[:ur]],..."
+if os.environ.get("RM_SWEEP"):       # "mode:e[:blk[:ur[:na]]],..."
     SWEEP = tuple((m, int(e), rest[0] if rest else "",
-                   rest[1] if len(rest) > 1 else "")
+                   rest[1] if len(rest) > 1 else "",
+                   rest[2] if len(rest) > 2 else "")
                   for m, e, *rest in (c.split(":")
                                       for c in os.environ["RM_SWEEP"]
                                       .split(",")))
-SWEEP = tuple(t if len(t) == 4 else t + ("",) for t in SWEEP)
-for mode, e, blk, ur in SWEEP:
+SWEEP = tuple(t + ("",) * (5 - len(t)) for t in SWEEP)
+for mode, e, blk, ur, na in SWEEP:
     # pseudo-mode "streampk": the stream kernel with dense-packed Pb rows
     # (TPU_ECM_REPLAY_PACKED=1; pallas_ops.pack_replay_rows)
     if mode == "streampk":
@@ -111,11 +116,16 @@ for mode, e, blk, ur in SWEEP:
         os.environ["TPU_ECM_REPLAY_UNROLL"] = ur
     else:
         os.environ.pop("TPU_ECM_REPLAY_UNROLL", None)
+    if na:
+        os.environ["TPU_ECM_REPLAY_NACC"] = na
+    else:
+        os.environ.pop("TPU_ECM_REPLAY_NACC", None)
     ec = {}
     pk = os.environ.get("TPU_ECM_REPLAY_PACKED")
     tag = f"{mode}{'(packed)' if pk else ''} " \
         f"{'NB' if mode == 'stream' else 'E'}={e}" \
-        + (f" blk={blk}" if blk else "") + (f" ur={ur}" if ur else "")
+        + (f" blk={blk}" if blk else "") + (f" ur={ur}" if ur else "") \
+        + (f" na={na}" if na else "")
     try:
         warm, res = stage2_pass(ec)
     except Exception as exc:

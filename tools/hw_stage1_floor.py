@@ -161,9 +161,16 @@ def main():
     s_const = jnp.asarray(s0)
     for chunk in (4096, 8192, 16384, 32768):
         runp = pallas_ops.make_tape_executor(ctx, B, chunk=chunk)
-        ptsj = jnp.asarray(pts)
-        best = time_best(lambda: runp(ptsj, syn, s_const),
-                         lambda o: np.asarray(o[0, 0, :1]))
+        # pts is DONATED by the executor: thread the output back in (the
+        # values are irrelevant to cost — work is data-oblivious)
+        out = runp(jnp.asarray(pts), syn, s_const)
+        _ = np.asarray(out[0, 0, :1])
+        best = float("inf")
+        for _i in range(REPS):
+            t0 = time.time()
+            out = runp(out, syn, s_const)
+            _ = np.asarray(out[0, 0, :1])
+            best = min(best, time.time() - t0)
         us = best / T * 1e6
         print(f"tape executor chunk={chunk}: {best:.3f}s for {T} ops "
               f"=> {us:.3f} us/point-op ({us / floor_us:.2f}x floor)",

@@ -933,7 +933,7 @@ def _make_unpack(p):
 def make_replay_stream_executor(ctx: MontyCtx, batch: int, pa_rows: int,
                                 pb_rows: int, t_block: int = 65536,
                                 n_buffers: int = 8, unroll: int = 1,
-                                packed: bool = False,
+                                packed: bool = False, n_acc: int = 1,
                                 interpret: bool = False, sharder=None):
     """Replay with a MANUAL deep DMA pipeline (the round-3 kernel).
 
@@ -963,6 +963,17 @@ def make_replay_stream_executor(ctx: MontyCtx, batch: int, pa_rows: int,
     unpacking in-register after each row DMA — nw/npw (~2.6x) less HBM
     traffic per entry for ~4 VPU ops per digit.  Value-identical results
     (see pack_replay_rows).
+
+    n_acc>1 keeps n_acc INDEPENDENT accumulator chains and retires n_acc
+    entries per loop body.  Measured motivation (round 4,
+    tools/hw_mulmod_floor.py): fori_loop bodies do not software-pipeline
+    across iterations, so a 1-entry body costs its critical path
+    (norm1 -> dependent mulmod, ~2.4 us) while the VPU's throughput per
+    mulmod with ILP is ~1.1 us (the xadd floor) — independent chains in
+    one body fill the gap.  Chains start at the Montgomery one
+    (pa_ext[-1]) and combine at block end: total mulmod count T + n_acc -
+    1 with n_acc - 1 extra ones cancels exactly (R^(1-T) overall, same as
+    serial), so results are value-identical.
     """
     p = ctx.p
     nw = p.nw
@@ -970,6 +981,7 @@ def make_replay_stream_executor(ctx: MontyCtx, batch: int, pa_rows: int,
     unpack_pb = _make_unpack(p) if packed else (lambda x: x)
     bs = _local_batch(batch, sharder) // LANE
     NB = n_buffers
+    NA = max(1, n_acc)
     assert t_block >= NB
     assert pa_rows <= (1 << 16) and pb_rows <= (1 << 16)
 
@@ -987,14 +999,20 @@ def make_replay_stream_executor(ctx: MontyCtx, batch: int, pa_rows: int,
             i = jnp.right_shift(idx_ref[1 + k], 16)
             return pltpu.make_async_copy(pa_hbm.at[i], pa_buf, pa_sem)
 
-        acc_scr[...] = acc_in[...]
+        acc_scr[0] = acc_in[...]
+        for j in range(1, NA):
+            # extra chains start at the Montgomery one (pa_ext[-1] row)
+            cpo = pltpu.make_async_copy(pa_hbm.at[pa_rows - 1],
+                                        acc_scr.at[j], pa_sem)
+            cpo.start()
+            cpo.wait()
         cp = pa_copy(0)
         cp.start()
         cp.wait()
         for k in range(NB):                      # static warm-up
             pb_copy(k, k).start()
 
-        def entry(k):
+        def entry(k, j=0):
             slot = jax.lax.rem(k, NB)
 
             # rare: the giant-step row changed — synchronous re-fetch
@@ -1009,7 +1027,7 @@ def make_replay_stream_executor(ctx: MontyCtx, batch: int, pa_rows: int,
 
             pb_copy(k, slot).wait()
             d = norm1(pa_buf[...] - unpack_pb(pb_buf[slot]))
-            acc_scr[...] = mulmod(acc_scr[...], d, pre=True)
+            acc_scr[j] = mulmod(acc_scr[j], d, pre=True)
 
             @pl.when(k + NB < count)
             def _():
@@ -1019,7 +1037,21 @@ def make_replay_stream_executor(ctx: MontyCtx, batch: int, pa_rows: int,
             entry(k)
             return 0
 
-        if unroll <= 1:
+        if NA > 1:
+            # NA independent chains per body (see docstring): per-entry
+            # cost drops from the body critical path (norm1 -> dependent
+            # mulmod latency) toward VPU throughput; tail entries run
+            # one-by-one into chain 0
+            def body_m(t, _):
+                base = t * NA
+                for j in range(NA):
+                    entry(base + j, j)
+                return 0
+
+            main = count // NA
+            jax.lax.fori_loop(0, main, body_m, 0, unroll=False)
+            jax.lax.fori_loop(main * NA, count, body, 0, unroll=False)
+        elif unroll <= 1:
             jax.lax.fori_loop(0, count, body, 0, unroll=False)
         else:
             # body-level unroll: U entries per while iteration amortizes the
@@ -1037,7 +1069,10 @@ def make_replay_stream_executor(ctx: MontyCtx, batch: int, pa_rows: int,
             main = (count // U) * U
             jax.lax.fori_loop(0, count // U, body_u, 0, unroll=False)
             jax.lax.fori_loop(main, count, body, 0, unroll=False)
-        acc_out[...] = acc_scr[...]
+        res = acc_scr[0]
+        for j in range(1, NA):
+            res = mulmod(res, acc_scr[j], pre=True)
+        acc_out[...] = res
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -1050,7 +1085,7 @@ def make_replay_stream_executor(ctx: MontyCtx, batch: int, pa_rows: int,
         out_specs=pl.BlockSpec((nw, bs, LANE), lambda i, idx: (0, 0, 0)),
         scratch_shapes=[pltpu.VMEM((nw, bs, LANE), jnp.int32),
                         pltpu.VMEM((NB, pb_nw, bs, LANE), jnp.int32),
-                        pltpu.VMEM((nw, bs, LANE), jnp.int32),
+                        pltpu.VMEM((NA, nw, bs, LANE), jnp.int32),
                         pltpu.SemaphoreType.DMA(()),
                         pltpu.SemaphoreType.DMA((NB,))],
     )
@@ -1307,16 +1342,31 @@ def _ed_tape_kernel(ctx: MontyCtx, tape_ref, acc_in, table_in, acc_out):
         return jnp.stack([mulmod(E, F, pre=True), mulmod(G, H, pre=True),
                           mulmod(F, G, pre=True), T])
 
+    # window-table row load: moved INSIDE the add branches so doubling
+    # steps (the majority) never pay it.  TPU_ECM_ED_GATHER=switch swaps
+    # the dynamic index for a lax.switch over static rows — measured
+    # SLOWER in isolation (tools/hw_mulmod_floor.py round 4: switchslot
+    # 2.98 vs dynslot 2.44 us; dynamic first-axis VMEM reads lower
+    # efficiently on Mosaic), so "dyn" is the default.
+    import os
+    gather_mode = os.environ.get("TPU_ECM_ED_GATHER", "dyn")
+    tp = table_in.shape[0]
+
+    def load_tab(arg):
+        if gather_mode == "switch":
+            return jax.lax.switch(
+                arg, [lambda i=i: table_in[i] for i in range(tp)])
+        return table_in[arg]
+
     def step(k, _):
         op = tape_ref[2 * k]
         arg = tape_ref[2 * k + 1]
-        tab = table_in[arg]
 
         new = jax.lax.switch(op, [
             lambda _: edbl(False),
             lambda _: edbl(True),
-            lambda _: eadd(tab, False),
-            lambda _: eadd(tab, True),
+            lambda _: eadd(load_tab(arg), False),
+            lambda _: eadd(load_tab(arg), True),
             lambda _: jnp.stack([acc_out[0], acc_out[1], acc_out[2],
                                  acc_out[3]]),
         ], None)

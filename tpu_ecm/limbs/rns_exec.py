@@ -493,6 +493,7 @@ def make_rns_replay_stream_executor(host: rns.RnsHost, batch: int,
                                     pa_rows: int, pb_rows: int,
                                     t_block: int = 65536,
                                     n_buffers: int = 8, unroll: int = 1,
+                                    n_acc: int = 1,
                                     interpret: bool = False, sharder=None):
     """Pairmap replay with the manual deep-DMA pipeline — the RNS twin of
     pallas_ops.make_replay_stream_executor (VERDICT r3 item 4: the RNS
@@ -510,6 +511,7 @@ def make_rns_replay_stream_executor(host: rns.RnsHost, batch: int,
     rows = host.dev.rows
     loc = _local_batch(batch, sharder)
     NB = n_buffers
+    NA = max(1, n_acc)
     assert t_block >= NB
     assert pa_rows <= (1 << 16) and pb_rows <= (1 << 16)
     leaves, rebuild = _ctx_io(host)
@@ -531,14 +533,21 @@ def make_rns_replay_stream_executor(host: rns.RnsHost, batch: int,
             i = jnp.right_shift(idx_ref[1 + k], 16)
             return pltpu.make_async_copy(pa_hbm.at[i], pa_buf, pa_sem)
 
-        acc_scr[...] = acc_in[...]
+        acc_scr[0] = acc_in[...]
+        for j in range(1, NA):
+            # extra chains start at the one row (pa_ext[-1], engine-shared
+            # convention) — same value-exact cancellation as the digit twin
+            cpo = pltpu.make_async_copy(pa_hbm.at[pa_rows - 1],
+                                        acc_scr.at[j], pa_sem)
+            cpo.start()
+            cpo.wait()
         cp = pa_copy(0)
         cp.start()
         cp.wait()
         for k in range(NB):                      # static warm-up
             pb_copy(k, k).start()
 
-        def entry(k):
+        def entry(k, j=0):
             slot = jax.lax.rem(k, NB)
 
             @pl.when(jnp.logical_and(
@@ -551,7 +560,7 @@ def make_rns_replay_stream_executor(host: rns.RnsHost, batch: int,
 
             pb_copy(k, slot).wait()
             d = rns.sub(pa_buf[...], pb_buf[slot], rc)
-            acc_scr[...] = rns.mont_mul(acc_scr[...], d, rc)
+            acc_scr[j] = rns.mont_mul(acc_scr[j], d, rc)
 
             @pl.when(k + NB < count)
             def _():
@@ -561,7 +570,17 @@ def make_rns_replay_stream_executor(host: rns.RnsHost, batch: int,
             entry(k)
             return 0
 
-        if unroll <= 1:
+        if NA > 1:
+            def body_m(t, _):
+                base = t * NA
+                for j in range(NA):
+                    entry(base + j, j)
+                return 0
+
+            main = count // NA
+            jax.lax.fori_loop(0, main, body_m, 0, unroll=False)
+            jax.lax.fori_loop(main * NA, count, body, 0, unroll=False)
+        elif unroll <= 1:
             jax.lax.fori_loop(0, count, body, 0, unroll=False)
         else:
             U = unroll
@@ -575,7 +594,10 @@ def make_rns_replay_stream_executor(host: rns.RnsHost, batch: int,
             main = (count // U) * U
             jax.lax.fori_loop(0, count // U, body_u, 0, unroll=False)
             jax.lax.fori_loop(main, count, body, 0, unroll=False)
-        acc_out[...] = acc_scr[...]
+        res = acc_scr[0]
+        for j in range(1, NA):
+            res = rns.mont_mul(res, acc_scr[j], rc)
+        acc_out[...] = res
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -588,7 +610,7 @@ def make_rns_replay_stream_executor(host: rns.RnsHost, batch: int,
         out_specs=pl.BlockSpec((rows, loc), lambda i, idx: (0, 0)),
         scratch_shapes=[pltpu.VMEM((rows, loc), jnp.int32),
                         pltpu.VMEM((NB, rows, loc), jnp.int32),
-                        pltpu.VMEM((rows, loc), jnp.int32),
+                        pltpu.VMEM((NA, rows, loc), jnp.int32),
                         pltpu.SemaphoreType.DMA(()),
                         pltpu.SemaphoreType.DMA((NB,))],
     )
@@ -756,9 +778,9 @@ class RnsOps:
                                         interpret=self.interpret)
 
     def make_replay_stream(self, b, pa_rows, pb_rows, t_block, n_buffers,
-                           unroll=1, packed=False):
+                           unroll=1, packed=False, n_acc=1):
         assert not packed   # dense digit packing is a digit-plane concept
         return make_rns_replay_stream_executor(
             self.host, b, pa_rows=pa_rows, pb_rows=pb_rows, t_block=t_block,
-            n_buffers=n_buffers, unroll=unroll, sharder=self.sharder,
-            interpret=self.interpret)
+            n_buffers=n_buffers, unroll=unroll, n_acc=n_acc,
+            sharder=self.sharder, interpret=self.interpret)

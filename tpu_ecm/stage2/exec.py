@@ -340,11 +340,11 @@ class DigitOps:
             interpret=self.interpret)
 
     def make_replay_stream(self, b, pa_rows, pb_rows, t_block, n_buffers,
-                           unroll=1, packed=False):
+                           unroll=1, packed=False, n_acc=1):
         from ..limbs import pallas_ops
         return pallas_ops.make_replay_stream_executor(
             self.ctx, b, pa_rows=pa_rows, pb_rows=pb_rows, t_block=t_block,
-            n_buffers=n_buffers, unroll=unroll, packed=packed,
+            n_buffers=n_buffers, unroll=unroll, packed=packed, n_acc=n_acc,
             sharder=self.sharder, interpret=self.interpret)
 
     def pack_replay_rows(self, rows):
@@ -883,13 +883,18 @@ class Stage2Runner:
         # per runner, amortized over every chunk's replay
         pk = (os.environ.get("TPU_ECM_REPLAY_PACKED", "0") != "0"
               and hasattr(self.ops, "pack_replay_rows"))
+        # independent accumulator chains per loop body — measured NO GAIN
+        # on hardware (round 4: na=1 10.04s, na=4 10.38s, na=8 10.50s
+        # flagship steady; the interleaved DMA waits keep the body
+        # latency-bound), kept as a knob for other geometries
+        na = int(os.environ.get("TPU_ECM_REPLAY_NACC", "1"))
         tb = self.replay_block      # 64k packed entries = 256 KB SMEM
         key = (self._ek, "replay_stream", G + 1, int(self.pbx.shape[0]),
-               tb, nb, ur, pk)
+               tb, nb, ur, pk, na)
         if key not in self._cache:
             self._cache[key] = self.ops.make_replay_stream(
                 self.b, pa_rows=G + 1, pb_rows=int(self.pbx.shape[0]),
-                t_block=tb, n_buffers=nb, unroll=ur, packed=pk)
+                t_block=tb, n_buffers=nb, unroll=ur, packed=pk, n_acc=na)
         replay = self._cache[key]
         if pk:
             if getattr(self, "_pbx_packed_of", None) is not self.pbx:
