@@ -609,6 +609,16 @@ def test_stage2_replay_resident_runner_parity(monkeypatch):
     assert got_pk.factors == ref.factors
     assert got_pk.paired == ref.paired
 
+    # stream mode with 3 independent accumulator chains (and packing off):
+    # per-block chain splits + tail entries + the final combine must keep
+    # canonical accumulators identical (R-power bookkeeping cancels)
+    monkeypatch.delenv("TPU_ECM_REPLAY_PACKED", raising=False)
+    monkeypatch.setenv("TPU_ECM_REPLAY_NACC", "3")
+    got_na = run("stream")
+    assert got_na.acc == ref.acc
+    assert got_na.factors == ref.factors
+    assert got_na.paired == ref.paired
+
 
 def test_pair_fuzz_random_bounds():
     """Seeded fuzz over random (B1, B2): the pairmap must cover every prime
