@@ -709,6 +709,15 @@ class RnsOps:
 
     num_slots = NUM_SLOTS
 
+    # The RNS stream replay kernel crashed the TPU worker ("kernel
+    # fault") on the 2355-bit acceptance row (test.csh row 21) — the
+    # first time it ran on real hardware (round 4; interpret-mode parity
+    # tests pass).  Until the fault is found, the hardware-proven gather
+    # kernel stays the RNS default; TPU_ECM_REPLAY=stream re-enables the
+    # stream kernel for debugging.  The digit engine keeps its measured
+    # stream default (stage2/exec._replay_mode).
+    default_replay = "gather"
+
     def __init__(self, host: rns.RnsHost, sharder=None,
                  interpret: bool = False):
         self.host = host

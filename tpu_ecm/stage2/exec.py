@@ -234,6 +234,27 @@ def _zeros(shape, sharder=None):
     return sharder.device_put(np.zeros(shape, dtype=np.int32))
 
 
+@functools.partial(jax.jit, donate_argnums=0)
+def _scatter_rows_donated(tbl, idx, val):
+    return tbl.at[idx].set(val)
+
+
+def _scatter_rows(tbl, idx, val):
+    """``tbl.at[idx].set(val)`` without double-buffering the table.
+
+    The eager functional update allocates a second full table while the
+    first is still live; at stage-2 init geometry (num_pb ~ 3.8k rows x
+    nw x B planes) that transient copy IS the HBM peak — observed as a
+    TPU RESOURCE_EXHAUSTED at 513-bit / 2048 curves / U=16
+    (BENCH_NOTES round 4).  On accelerators the donated jit aliases the
+    input buffer to the output (true in-place update); on CPU donation
+    is unsupported, so keep the plain update there (tests run CPU and
+    would otherwise warn on every call)."""
+    if jax.default_backend() == "cpu":
+        return tbl.at[idx].set(val)
+    return _scatter_rows_donated(tbl, jnp.asarray(idx), val)
+
+
 # ---------------------------------------------------------------------------
 # engine adapter: everything representation-specific behind one object
 # ---------------------------------------------------------------------------
@@ -544,7 +565,7 @@ class Stage2Runner:
         inv12 = self._invert_planes_grouped(
             jnp.stack([q1[0], q2[0]]), jnp.stack([q1[1], q2[1]]))
         pbx = _zeros((sp.num_pb, nw, b), self.sharder)
-        pbx = pbx.at[1].set(inv12[0]).at[2].set(inv12[1])
+        pbx = _scatter_rows(pbx, jnp.array([1, 2]), inv12)
         G = self.pa_group
         rows = jnp.arange(G)[:, None, None]
         p_last, p_prev = q2, q1
@@ -564,10 +585,11 @@ class Stage2Runner:
             inv = self._invert_planes(gx, gz)
             sl = np.zeros(G, dtype=np.int32)
             sl[:m] = slots[sel]
-            pbx = pbx.at[jnp.asarray(sl)].set(inv)
+            pbx = _scatter_rows(pbx, sl, inv)
         # padded scatter rows land in slot 0, which must stay the zero row
         # (replay pad entries read pbx[0] = 0)
-        self.pbx = pbx.at[0].set(jnp.zeros_like(self.one_plane))
+        zero = jnp.zeros_like(pbx[:1])
+        self.pbx = _scatter_rows(pbx, jnp.array([0]), zero)
         self.ptadds += sp.umax - 2
         # Pd = [D]Q (not inverted), /root/reference/ecm.c:2331-2334
         self.pd = self._ladder(self.pt, sp.D)
@@ -588,9 +610,12 @@ class Stage2Runner:
         q2 = jnp.stack([x2, z2])
         nw, b = q1.shape[1], q1.shape[2]
         pbx = _zeros((sp.num_pb, 3, nw, b), self.sharder)
-        for slot, q in ((1, q1), (2, q2)):
-            prod = self.ops.mul_planes(q[0][None], q[1][None])[0]
-            pbx = pbx.at[slot].set(jnp.stack([q[0], q[1], prod]))
+        prods = self.ops.mul_planes(jnp.stack([q1[0], q2[0]]),
+                                    jnp.stack([q1[1], q2[1]]))
+        pbx = _scatter_rows(
+            pbx, jnp.array([1, 2]),
+            jnp.stack([jnp.stack([q1[0], q1[1], prods[0]]),
+                       jnp.stack([q2[0], q2[1], prods[1]])]))
         G = self.pa_group
         p_last, p_prev = q2, q1
         for base in range(3, sp.umax + 1, G):
@@ -606,11 +631,11 @@ class Stage2Runner:
             gp = self.ops.mul_planes(gx, gz)
             sl = np.zeros(G, dtype=np.int32)
             sl[:sel.size] = slots[sel]
-            pbx = pbx.at[jnp.asarray(sl)].set(
-                jnp.stack([gx, gz, gp], axis=1))
+            pbx = _scatter_rows(pbx, sl, jnp.stack([gx, gz, gp], axis=1))
         # padded scatter rows land in slot 0, which must be the all-zero
         # row (pad replay entries read pbx[0] = (0, 0, 0))
-        self.pbx = pbx.at[0].set(jnp.zeros_like(pbx[0]))
+        zero = jnp.zeros_like(pbx[:1])
+        self.pbx = _scatter_rows(pbx, jnp.array([0]), zero)
         self.ptadds += sp.umax - 2
         self.pd = self._ladder(self.pt, sp.D)
         return self
@@ -755,7 +780,8 @@ class Stage2Runner:
     # resident (VMEM Pb slabs) measured slower — kept behind the env.
     # Default: stream.
     def _replay_mode(self) -> str:
-        mode = os.environ.get("TPU_ECM_REPLAY", "stream")
+        mode = os.environ.get("TPU_ECM_REPLAY",
+                              getattr(self.ops, "default_replay", "stream"))
         if (mode == "resident" and self.use_pallas
                 and hasattr(self.ops, "make_replay_resident")):
             return "resident"
