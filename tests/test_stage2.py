@@ -557,6 +557,45 @@ def test_replay_resident_kernel_value_parity():
         assert got[i] % n == ref[i] % n, i
 
 
+def test_stage2_pa_group_env_value_parity(monkeypatch):
+    """TPU_ECM_PA_GROUP (the HBM-peak group-size override, added after the
+    513-bit/2048-curve init OOM) must not change results: accumulators and
+    the factor set are grouping-independent for any group size, including
+    sizes that don't divide umax or the giant-step count."""
+    n = P61
+    b1, b2 = 300, 4000
+    ctx = params.make_monty(n)
+    dctx = jnp_ops.device_ctx(ctx)
+    sigmas = [40 + i for i in range(8)]
+    curves = [suyama.build_one_curve(ctx, s) for s in sigmas]
+    p = ctx.p
+    pt = np.stack([layout.pack_batch([c.x_mont for c in curves], p.w, p.nw),
+                   layout.pack_batch([c.z_mont for c in curves], p.w, p.nw)])
+    s_const = jnp.asarray(
+        layout.pack_batch([c.s_mont for c in curves], p.w, p.nw))
+    sp = s2plan.make_stage2_params(b1, b2)
+    primes = primes_range(b1, b2 + 1000)
+    map_v, map_u, amin0, _ = s2plan.pair(sp, primes, b1, b2)
+
+    def run(pa_group=None):
+        if pa_group is None:
+            monkeypatch.delenv("TPU_ECM_PA_GROUP", raising=False)
+        else:
+            monkeypatch.setenv("TPU_ECM_PA_GROUP", str(pa_group))
+        runner = s2exec.Stage2Runner(ctx, dctx, sp, jnp.asarray(pt), s_const,
+                                     b1, use_pallas=False)
+        runner.init()
+        runner.run_chunk(map_v, map_u, amin0)
+        return runner.result()
+
+    ref = run()
+    for g in (37, 64, 1000):
+        got = run(g)
+        assert got.acc == ref.acc
+        assert got.factors == ref.factors
+        assert got.paired == ref.paired
+
+
 @pytest.mark.slow
 def test_stage2_replay_resident_runner_parity(monkeypatch):
     """Full Stage2Runner in resident-replay mode with the slab budget forced

@@ -448,6 +448,16 @@ class Stage2Runner:
         rb = os.environ.get("TPU_ECM_REPLAY_BLOCK")
         if rb:
             self.replay_block = int(rb)
+        # Pa/Pb group size override: the init and giant-step loops hold
+        # [G, 2, nw, B] chain buffers plus same-order inversion transients,
+        # so at large B*nw the default G=4096 exceeds HBM next to the
+        # num_pb-row Pb table (513-bit/2048-curve/U=16: ~3 GB per group
+        # buffer + 2.8 GB table -> RESOURCE_EXHAUSTED, BENCH_NOTES round
+        # 4).  Smaller G trades ~13.7 ms of extra replay dispatch per
+        # group boundary for a proportionally lower peak.
+        pg = os.environ.get("TPU_ECM_PA_GROUP")
+        if pg:
+            self.pa_group = int(pg)
         one = self.ops.one_plane_np(b)
         self.one_plane = (sharder.device_put(one) if sharder is not None
                           else jnp.asarray(one))
