@@ -29,16 +29,65 @@ N256 = (0xC96C5F88B1E3C4D8E7A9B2F1D0C3B4A5968778695A4B3C2D1E0F1A2B3C4D5E7
         | 1)
 
 
+def dma_probe(rows: int, loc: int = 128, src_rows: int = 7):
+    """Minimal kernel: ONE manual make_async_copy of a [rows, loc] slab
+    from a dynamically indexed HBM array, no arithmetic.  Crash => the
+    non-sublane-aligned (odd-rows) manual DMA is the fault; pass => the
+    fault is in the mont_mul/DMA interaction."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(idx_ref, src_hbm, out, buf, sem):
+        cp = pltpu.make_async_copy(src_hbm.at[idx_ref[0]], buf, sem)
+        cp.start()
+        cp.wait()
+        out[...] = buf[...]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((rows, loc), lambda i, idx: (0, 0)),
+        scratch_shapes=[pltpu.VMEM((rows, loc), jnp.int32),
+                        pltpu.SemaphoreType.DMA(())])
+    call = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, loc), jnp.int32))
+    src = np.arange(src_rows * rows * loc, dtype=np.int32).reshape(
+        src_rows, rows, loc)
+    got = np.asarray(call(jnp.asarray([3], jnp.int32), jnp.asarray(src)))
+    ok = bool((got == src[3]).all())
+    print(f"dma_probe rows={rows}: match={ok}", flush=True)
+    return ok
+
+
 def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "tiny"
+    if mode == "dma":
+        # 481 = the 2355-bit RNS row count (odd); 480 = aligned control
+        dma_probe(int(sys.argv[2]) if len(sys.argv) > 2 else 481)
+        return
     nb = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    ctx = params.make_monty(N256)
+    if mode == "big":
+        # ~2355-bit odd modulus: K=240 -> the bf16 MXU split path of
+        # mont_mul (the row-21 geometry that compiled but crashed the
+        # worker at runtime); "tiny" (N256, K=24) exercises the int32-dot
+        # small-K path, which fails to COMPILE in this kernel (distinct
+        # bug, found 2026-08-20: Mosaic "Bad lhs/rhs type
+        # vector<32x128xi32> vector<128x128xi32>")
+        n_in = (1 << 2354) | (int("9" * 700) & ((1 << 2300) - 1)) | 1
+        ctx = params.make_monty(n_in)
+    else:
+        ctx = params.make_monty(N256)
     h = rns.make_rns(ctx)
     print(f"nbits={N256.bit_length()} K={h.K} rows={h.dev.rows} "
           f"(odd rows = {h.dev.rows % 8})", flush=True)
     rng = random.Random(7)
     n = ctx.n_int
     b = 128
-    PA, PB, T = 9, 7, 64
+    # count = T - 2 must be a power of two (the jnp replay_segment
+    # reference builds a balanced product tree)
+    PA, PB, T = 9, 7, 18
 
     def mk(rows):
         return np.stack([h.pack([h.to_mont_int(rng.randrange(n))
