@@ -80,8 +80,8 @@ def main():
     else:
         ctx = params.make_monty(N256)
     h = rns.make_rns(ctx)
-    print(f"nbits={N256.bit_length()} K={h.K} rows={h.dev.rows} "
-          f"(odd rows = {h.dev.rows % 8})", flush=True)
+    print(f"nbits={ctx.n_int.bit_length()} K={h.K} rows={h.dev.rows} "
+          f"(rows mod 8 = {h.dev.rows % 8})", flush=True)
     rng = random.Random(7)
     n = ctx.n_int
     b = 128

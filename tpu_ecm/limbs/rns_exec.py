@@ -507,8 +507,19 @@ def make_rns_replay_stream_executor(host: rns.RnsHost, batch: int,
     fetches only on giant-step change (v-sorted stream); pads multiply by
     sub(one, zero) = one + F — a multiple-of-N offset the RNS value
     convention already carries, so canonical accumulators are unchanged
-    (/root/reference/ecm.c:2448-2532 is the loop being replayed)."""
+    (/root/reference/ecm.c:2448-2532 is the loop being replayed).
+
+    Manual-DMA slabs are sublane-padded: RNS rows = 2K+1 is always odd,
+    and make_async_copy of a non-8-aligned [rows, loc] slab from a
+    dynamically indexed HBM array CRASHES the TPU worker (round-4
+    bisect, tools/debug_rns_stream.py: rows=481 faults, rows=480 passes,
+    arithmetic-free kernel).  So pa_ext/pbx are padded to rp rows on the
+    way in (wrapper jnp.pad per call — correctness-first; hoist to a
+    once-per-runner padded table if this path is ever made the default)
+    and the VMEM stream buffers are [rp, loc]; all arithmetic slices
+    back to the true rows."""
     rows = host.dev.rows
+    rp = -(-rows // 8) * 8
     loc = _local_batch(batch, sharder)
     NB = n_buffers
     NA = max(1, n_acc)
@@ -536,11 +547,14 @@ def make_rns_replay_stream_executor(host: rns.RnsHost, batch: int,
         acc_scr[0] = acc_in[...]
         for j in range(1, NA):
             # extra chains start at the one row (pa_ext[-1], engine-shared
-            # convention) — same value-exact cancellation as the digit twin
+            # convention) — same value-exact cancellation as the digit
+            # twin; staged through the rp-padded pa_buf (acc_scr rows are
+            # unpadded and manual DMA needs the aligned slab)
             cpo = pltpu.make_async_copy(pa_hbm.at[pa_rows - 1],
-                                        acc_scr.at[j], pa_sem)
+                                        pa_buf, pa_sem)
             cpo.start()
             cpo.wait()
+            acc_scr[j] = pa_buf[...][:rows]
         cp = pa_copy(0)
         cp.start()
         cp.wait()
@@ -559,7 +573,7 @@ def make_rns_replay_stream_executor(host: rns.RnsHost, batch: int,
                 cpa.wait()
 
             pb_copy(k, slot).wait()
-            d = rns.sub(pa_buf[...], pb_buf[slot], rc)
+            d = rns.sub(pa_buf[...][:rows], pb_buf[slot][:rows], rc)
             acc_scr[j] = rns.mont_mul(acc_scr[j], d, rc)
 
             @pl.when(k + NB < count)
@@ -608,8 +622,8 @@ def make_rns_replay_stream_executor(host: rns.RnsHost, batch: int,
             pl.BlockSpec((rows, loc), lambda i, idx: (0, 0)),
         ],
         out_specs=pl.BlockSpec((rows, loc), lambda i, idx: (0, 0)),
-        scratch_shapes=[pltpu.VMEM((rows, loc), jnp.int32),
-                        pltpu.VMEM((NB, rows, loc), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((rp, loc), jnp.int32),
+                        pltpu.VMEM((NB, rp, loc), jnp.int32),
                         pltpu.VMEM((NA, rows, loc), jnp.int32),
                         pltpu.SemaphoreType.DMA(()),
                         pltpu.SemaphoreType.DMA((NB,))],
@@ -624,6 +638,10 @@ def make_rns_replay_stream_executor(host: rns.RnsHost, batch: int,
     )
 
     def body(acc, pa_ext, pbx, idx, *leaf_args):
+        if rp != rows:
+            pad = ((0, 0), (0, rp - rows), (0, 0))
+            pa_ext = jnp.pad(pa_ext, pad)
+            pbx = jnp.pad(pbx, pad)
         return call(idx, *leaf_args, pa_ext, pbx, acc)
 
     ax = sharder.axis_name if sharder is not None else None
@@ -709,17 +727,18 @@ class RnsOps:
 
     num_slots = NUM_SLOTS
 
-    # The RNS stream replay kernel crashed the TPU worker ("kernel
-    # fault") on the 2355-bit acceptance row (test.csh row 21) — the
-    # first time it ran on real hardware (round 4; interpret-mode parity
-    # tests pass).  Until the fault is found, the hardware-proven gather
-    # kernel stays the RNS default; TPU_ECM_REPLAY=stream re-enables the
-    # stream kernel for debugging.  The digit engine keeps its measured
-    # stream default (stage2/exec._replay_mode).
-    default_replay = "gather"
-
     def __init__(self, host: rns.RnsHost, sharder=None,
                  interpret: bool = False):
+        # Stream replay is the default on the split (large-K) arithmetic
+        # path, where it measured 2.35x faster stage 2 than gather on the
+        # 2355-bit acceptance row (22.1 vs 52.0 s) after the round-4
+        # odd-rows DMA fix (manual make_async_copy of non-8-aligned
+        # [rows, loc] slabs crashed the TPU worker; slabs are now
+        # sublane-padded — BENCH_NOTES round 4).  The small-K direct
+        # int32-dot mont_mul path does not compile inside this kernel
+        # (Mosaic bad-operand-shape), so those geometries stay on the
+        # hardware-proven gather kernel.  TPU_ECM_REPLAY overrides both.
+        self.default_replay = "stream" if host.dev.use_split else "gather"
         self.host = host
         self.ctx = host.ctx
         self.rc = host.dev
