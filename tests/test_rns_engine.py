@@ -205,6 +205,19 @@ def test_rns_replay_stream_kernel_value_parity():
                 run(jnp.asarray(acc0), jnp.asarray(pa), jnp.asarray(pb),
                     jnp.asarray(flat))))]
             assert got == want, (count, unroll, n_acc)
+    # the once-per-runner prepadded Pb table (RnsOps.prepare_replay_pbx,
+    # the sublane pad hoisted out of the per-call wrapper) must be
+    # value-identical to passing the raw table
+    ops = rns_exec.RnsOps(h)
+    pb_pre = ops.prepare_replay_pbx(jnp.asarray(pb))
+    assert pb_pre.shape[1] % 8 == 0
+    run = rns_exec.make_rns_replay_stream_executor(
+        h, b, PA, PB, t_block=T, n_buffers=3, interpret=True)
+    flat = np.concatenate([[np.int32(T - 2)], packed])
+    got = [v % n for v in h.unpack(np.asarray(
+        run(jnp.asarray(acc0), jnp.asarray(pa), pb_pre,
+            jnp.asarray(flat))))]
+    assert got == want
 
 
 def test_rns_engine_1536bit_stage2_find(tmp_path):

@@ -638,9 +638,13 @@ def make_rns_replay_stream_executor(host: rns.RnsHost, batch: int,
     )
 
     def body(acc, pa_ext, pbx, idx, *leaf_args):
-        if rp != rows:
-            pad = ((0, 0), (0, rp - rows), (0, 0))
+        # shape-driven: a caller may pass pre-padded [.., rp, loc] tables
+        # (RnsOps.prepare_replay_pbx hoists the pbx pad to once per
+        # runner); anything still at the true row count pads here
+        pad = ((0, 0), (0, rp - rows), (0, 0))
+        if pa_ext.shape[1] != rp:
             pa_ext = jnp.pad(pa_ext, pad)
+        if pbx.shape[1] != rp:
             pbx = jnp.pad(pbx, pad)
         return call(idx, *leaf_args, pa_ext, pbx, acc)
 
@@ -812,3 +816,17 @@ class RnsOps:
             self.host, b, pa_rows=pa_rows, pb_rows=pb_rows, t_block=t_block,
             n_buffers=n_buffers, unroll=unroll, n_acc=n_acc,
             sharder=self.sharder, interpret=self.interpret)
+
+    def prepare_replay_pbx(self, pbx):
+        """Hoist the stream kernel's sublane pad of the Pb table (rows ->
+        ceil(rows/8)*8, see make_rns_replay_stream_executor) to ONE copy
+        per runner instead of one per replay call.  Single-device only:
+        an eager pad of a mesh-sharded table could resharden/gather, so
+        sharded runs keep the per-call in-shard_map pad (value-identical
+        either way — the executor pads anything still at the true row
+        count)."""
+        rows = self.host.dev.rows
+        rp = -(-rows // 8) * 8
+        if self.sharder is not None or rp == rows:
+            return pbx
+        return jnp.pad(pbx, ((0, 0), (0, rp - rows), (0, 0)))

@@ -939,6 +939,15 @@ class Stage2Runner:
             pbx = self._pbx_packed
         else:
             pbx = self.pbx
+            # engine-specific once-per-runner table prep (e.g. the RNS
+            # stream kernel's sublane pad); value-identical to passing
+            # the raw table
+            prep = getattr(self.ops, "prepare_replay_pbx", None)
+            if prep is not None:
+                if getattr(self, "_pbx_prep_of", None) is not self.pbx:
+                    self._pbx_prep = prep(self.pbx)
+                    self._pbx_prep_of = self.pbx
+                pbx = self._pbx_prep
         packed = ((idx[:, 0].astype(np.int64) << 16)
                   | idx[:, 1].astype(np.int64)).astype(np.int32)
         for lo in range(0, packed.shape[0], tb):
