@@ -14,10 +14,11 @@ Usage (idle chip — a crash wedges concurrent clients):
 Each variant prints OK + the unpacked check value, or dies with the
 worker-crash error.  Compare against the jnp replay_segment reference.
 """
+import os
 import random
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 import jax.numpy as jnp  # noqa: E402

@@ -332,7 +332,12 @@ class ECMDriver:
         self.dctx = jnp_ops.device_ctx(self.ctx)
         self.stream = PrimeStream(cfg.prime_chunk or PrimeStream().chunk)
         import jax
-        if cfg.cache_dir:
+        # skip the process-global cache-dir mutation when the persistent
+        # compilation cache is off (the test harness disables it: a
+        # per-tmp_path dir set here leaked into unrelated tests and the
+        # accumulated cache writes eventually segfaulted the suite,
+        # VERDICT r4 item 2)
+        if cfg.cache_dir and jax.config.jax_enable_compilation_cache:
             try:
                 # per-backend cache subdir: XLA:CPU AOT executables compiled
                 # by the remote compile service carry that machine's feature

@@ -73,6 +73,13 @@ def main(argv=None) -> int:
     curves = int(argv[1])
     b1 = int(float(argv[2]))
     batch = int(argv[3]) if len(argv) >= 4 and int(argv[3]) > 0 else None
+    if batch is not None and batch < 128:
+        # the reference's 4th positional is THREADS (/root/reference/
+        # main.c:380-384); here it is the device curve batch.  A verbatim
+        # reference command like `... 1e6 4 1e8 sigma` would silently
+        # request a tiny batch (rounded up to the TPU minimum anyway).
+        print(f"note: arg 4 is the device curve BATCH here (reference: "
+              f"threads); {batch} is small and will be rounded up on TPU")
     b2 = None
     if len(argv) >= 5:
         b2 = int(float(argv[4]))

@@ -477,6 +477,11 @@ def make_rns_replay_executor(host: rns.RnsHost, batch: int, pa_rows: int,
     )
 
     def body(acc, pa_ext, pbx, idx, *leaf_args):
+        # tolerate a sublane-padded table (prepare_replay_pbx replaced the
+        # runner's raw Pb table to halve stage-2 HBM residency, ADVICE r4);
+        # the slice happens inside the jit, per call, only on this
+        # non-default path
+        pbx = pbx[:, :rows]
         gathers = [pa_ext, pbx] * E
         return call(idx.reshape(2 * t_block), *leaf_args, *gathers, acc)
 
@@ -784,6 +789,9 @@ class RnsOps:
         return pa_extend(carry_pts, pd, count_arr, self.rc)
 
     def replay_segment(self, acc, pa_inv_ext, pbx, idx):
+        rows = self.host.dev.rows
+        if int(pbx.shape[1]) > rows:      # sublane-padded table (see
+            pbx = pbx[:, :rows]           # prepare_replay_pbx)
         return replay_segment(acc, pa_inv_ext, pbx, idx, self.rc)
 
     # pallas executor factories ------------------------------------------
@@ -827,6 +835,6 @@ class RnsOps:
         count)."""
         rows = self.host.dev.rows
         rp = -(-rows // 8) * 8
-        if self.sharder is not None or rp == rows:
-            return pbx
+        if self.sharder is not None or int(pbx.shape[1]) >= rp:
+            return pbx          # already padded (idempotent) or sharded
         return jnp.pad(pbx, ((0, 0), (0, rp - rows), (0, 0)))

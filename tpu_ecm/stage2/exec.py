@@ -249,8 +249,15 @@ def _scatter_rows(tbl, idx, val):
     (BENCH_NOTES round 4).  On accelerators the donated jit aliases the
     input buffer to the output (true in-place update); on CPU donation
     is unsupported, so keep the plain update there (tests run CPU and
-    would otherwise warn on every call)."""
-    if jax.default_backend() == "cpu":
+    would otherwise warn on every call).  The gate reads the TABLE's
+    placement, not the default backend: a table deliberately placed on
+    CPU under a TPU default must not be migrated by the donated jit
+    (ADVICE r4)."""
+    try:
+        platforms = {d.platform for d in tbl.devices()}
+    except Exception:
+        platforms = {jax.default_backend()}
+    if platforms == {"cpu"}:
         return tbl.at[idx].set(val)
     return _scatter_rows_donated(tbl, jnp.asarray(idx), val)
 
@@ -938,16 +945,16 @@ class Stage2Runner:
                 self._pbx_packed_of = self.pbx
             pbx = self._pbx_packed
         else:
-            pbx = self.pbx
             # engine-specific once-per-runner table prep (e.g. the RNS
             # stream kernel's sublane pad); value-identical to passing
-            # the raw table
+            # the raw table.  The padded table REPLACES self.pbx —
+            # keeping both resident doubles the dominant stage-2 buffer
+            # at large RNS geometries (ADVICE r4).  prep is idempotent,
+            # and the other replay paths slice the pad rows back off.
             prep = getattr(self.ops, "prepare_replay_pbx", None)
             if prep is not None:
-                if getattr(self, "_pbx_prep_of", None) is not self.pbx:
-                    self._pbx_prep = prep(self.pbx)
-                    self._pbx_prep_of = self.pbx
-                pbx = self._pbx_prep
+                self.pbx = prep(self.pbx)
+            pbx = self.pbx
         packed = ((idx[:, 0].astype(np.int64) << 16)
                   | idx[:, 1].astype(np.int64)).astype(np.int32)
         for lo in range(0, packed.shape[0], tb):

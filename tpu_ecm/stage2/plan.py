@@ -159,9 +159,7 @@ def pair(sp: Stage2Params, primes: Sequence[int], b1: int, b2: int,
             assert qi is not None, (s, q, mq)
             if queues[qi]:
                 ap = queues[qi].popleft()
-                u = w * (a - ap) + (q if q >= 0 else q)   # w(a-ap)-|q| or +q
-                if q < 0:
-                    u = w * (a - ap) - (-q)
+                u = w * (a - ap) + q          # w(a-ap)-|q| (q<0) or +q
                 if u > umax:
                     # partner too far: emit it as a singleton, retry pairing
                     qq = -q if q < 0 else (2 * w - q if q >= w else q)
