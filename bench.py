@@ -38,6 +38,80 @@ import time
 BASELINE_CURVES_PER_SEC = 11.6   # avx-ecm 64-core SKX, 416-bit, stage 1 only
 E2E_BASELINE_CURVES_PER_SEC = 7.93  # x0.684 measured e2e/stage-1 ratio
 
+# Idle-chip reference for the 65536-op stage-1 slice at B=2048/416-bit:
+# 7.10 us/point-op (BENCH_NOTES round 4, tape executor chunk=8192 on an
+# idle chip).  The tunnel-attached chip's delivered throughput varies
+# ~2x with external load; load_factor = measured/idle quantifies how
+# representative this artifact is of per-chip capability (VERDICT r4
+# item 7).
+IDLE_SLICE_US_PER_OP = 7.10
+
+# Assumed VPU peak for the MFU accounting (VERDICT r4 item 6): 8 sublanes
+# x 128 lanes x 4 ALU slots x ~0.94 GHz TensorCore clock = 3.85e12 int32
+# MAC/s.  The clock/ALU numbers are not published for v5e; the assumption
+# is pinned here so the mfu field is reproducible, and BENCH_NOTES anchors
+# it against the measured same-chip arithmetic floor (the xadd body at
+# 6.45 us/point-op).
+VPU_PEAK_INT32_MAC_PER_S = 8 * 128 * 4 * 0.94e9
+
+
+def count_macs_per_op(ctx):
+    """Exact int32 multiply counts per xadd/xdbl/replay-entry for the
+    digit engine at this modulus geometry, by tracing the SAME arithmetic
+    generator the Pallas kernels inline (pallas_ops._make_arith) and
+    counting `mul` primitives in the jaxpr (integer_pow/shift/mask ops are
+    not MACs).  Each counted mul is a full [bs, LANE] tile op, so MACs =
+    muls * B elements."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_ecm.curve import ops as curve_ops
+    from tpu_ecm.limbs import pallas_ops
+
+    p = ctx.p
+    spec = jax.ShapeDtypeStruct((p.nw, 8, 128), jnp.int32)
+    mulmod, sqrmod, norm1 = pallas_ops._make_arith(ctx)
+
+    def muls(fn, *specs):
+        jaxpr = jax.make_jaxpr(fn)(*specs)
+        n = 0
+        for eqn in jaxpr.jaxpr.eqns:
+            if eqn.primitive.name == "mul":
+                n += 1
+        return n
+
+    m_mul = muls(lambda a, b: mulmod(a, b, pre=True), spec, spec)
+    m_sqr = muls(lambda a: sqrmod(a, pre=True), spec)
+
+    def xadd(pa, pb, pd):
+        s1, d1 = norm1(pa[0] + pa[1]), norm1(pa[0] - pa[1])
+        s2, d2 = norm1(pb[0] + pb[1]), norm1(pb[0] - pb[1])
+        u = mulmod(d1, s2, pre=True)
+        v = mulmod(s1, d2, pre=True)
+        t1 = sqrmod(norm1(u + v), pre=True)
+        t2 = sqrmod(norm1(u - v), pre=True)
+        return jnp.stack([mulmod(t1, pd[1], pre=True),
+                          mulmod(t2, pd[0], pre=True)])
+
+    def xdbl(X, Z, s_const):
+        s_, d_ = norm1(X + Z), norm1(X - Z)
+        v = sqrmod(d_, pre=True)
+        u = sqrmod(s_, pre=True)
+        x2 = mulmod(u, v, pre=True)
+        w_ = norm1(u - v)
+        t = mulmod(w_, s_const, pre=True)
+        z2 = mulmod(norm1(t + v), w_, pre=True)
+        return jnp.stack([x2, z2])
+
+    pt = jax.ShapeDtypeStruct((2, p.nw, 8, 128), jnp.int32)
+    m_xadd = muls(xadd, pt, pt, pt)
+    m_xdbl = muls(xdbl, spec, spec, spec)
+    m_entry = muls(lambda acc, a, b: mulmod(acc, norm1(a - b), pre=True),
+                   spec, spec, spec)
+    del curve_ops
+    return dict(mul=m_mul, sqr=m_sqr, xadd=m_xadd, xdbl=m_xdbl,
+                entry=m_entry)
+
 
 def main():
     import jax
@@ -102,12 +176,18 @@ def main():
     # external load (rare 2-20x outliers, see BENCH_NOTES.md); the best
     # sample is the per-chip capability
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    dt = float("inf")
+    dt, dt_worst = float("inf"), 0.0
     for _i in range(reps):
         t0 = time.time()
         out = run(out, tslice)
         _ = np.asarray(out[0, 0, :1])
-        dt = min(dt, time.time() - t0)
+        s = time.time() - t0
+        dt, dt_worst = min(dt, s), max(dt_worst, s)
+    # tunnel-load indicator: best observed slice rate vs the recorded
+    # idle-chip rate (1.0 = idle-chip capability; >1 = external load)
+    load_factor = (dt / (slice_len * IDLE_SLICE_US_PER_OP * 1e-6)
+                   if (not on_cpu and batch == 2048) else None)
+    spread = (dt_worst - dt) / dt if dt > 0 else 0.0
 
     time_full = dt * (full_len / slice_len)
     extrapolated = time_full
@@ -139,16 +219,40 @@ def main():
     curves_per_sec = batch / time_full
     print(f"# device={jax.devices()[0]} batch={batch} NW={p.nw} w={p.w} "
           f"tape={full_len} slice={slice_len} slice_time={dt:.3f}s "
-          f"extrapolated_full={extrapolated:.1f}s plan_time={plan_t:.1f}s",
+          f"extrapolated_full={extrapolated:.1f}s plan_time={plan_t:.1f}s "
+          f"load_factor={load_factor} spread={spread:.3f}",
           file=sys.stderr)
 
+    # MFU accounting (VERDICT r4 item 6): exact int32-MAC counts from the
+    # arithmetic generator's jaxpr x measured wall
+    from tpu_ecm.curve import ops as _cops
+    macs = count_macs_per_op(ctx)
+    opc = np.asarray(tape[:, 0])
+    nadd = int(np.count_nonzero(opc == _cops.OP_ADD))
+    ndup = int(np.count_nonzero(opc == _cops.OP_DUP))
+    s1_macs = (nadd * macs["xadd"] + ndup * macs["xdbl"]) * batch
+    s1_mac_per_s = s1_macs / time_full
+    s1_mfu = s1_mac_per_s / VPU_PEAK_INT32_MAC_PER_S
+    print(f"# macs/op: mul={macs['mul']} sqr={macs['sqr']} "
+          f"xadd={macs['xadd']} xdbl={macs['xdbl']} entry={macs['entry']}; "
+          f"stage1 {s1_mac_per_s / 1e12:.2f} Tmac/s = {s1_mfu:.1%} of "
+          f"assumed VPU peak", file=sys.stderr)
+
     do_e2e = os.environ.get("BENCH_E2E", "0" if on_cpu else "1") != "0"
+    extra = {
+        "stage1_mac_per_s": round(s1_mac_per_s, 0),
+        "stage1_mfu_vs_assumed_vpu_peak": round(s1_mfu, 4),
+        **({"load_factor": round(load_factor, 3)}
+           if load_factor is not None else {}),
+        "stage1_slice_spread": round(spread, 4),
+    }
     if not do_e2e:
         print(json.dumps({
             "metric": "ecm_stage1_curves_per_sec_per_chip_416bit_B1_1e6",
             "value": round(curves_per_sec, 3),
             "unit": "curves/sec",
             "vs_baseline": round(curves_per_sec / BASELINE_CURVES_PER_SEC, 3),
+            **extra,
         }))
         return
 
@@ -163,6 +267,7 @@ def main():
     stream = PrimeStream()
     pts0 = out[0]                     # stage-1 point [2, NW, B] (values
     s2_cache = {}                     # irrelevant: cost is data-oblivious)
+    s2_pairs = [0]                    # total replay entries (for MAC/s)
     pair_cache = {}                   # pairmaps are planned once and shared
                                       # across curve batches (driver
                                       # _pairmaps; ref ecm.c:1449-1459), so
@@ -180,6 +285,7 @@ def main():
             if (p, q) not in pair_cache:
                 prs = stream.load(p, q + 1000 if q == b2 else q)
                 pair_cache[(p, q)] = s2plan.pair(sp, prs, p, q)
+                s2_pairs[0] += pair_cache[(p, q)][3]["pairs"]
             map_v, map_u, amin0, _stats = pair_cache[(p, q)]
             runner.run_chunk(map_v, map_u, amin0)
             p = q
@@ -192,8 +298,12 @@ def main():
     s2_reps = int(os.environ.get("BENCH_S2_REPS", "2"))
     s2_wall = min(stage2_pass() for _ in range(s2_reps))
     e2e = batch / (time_full + s2_wall)
+    s2_mac_per_s = s2_pairs[0] * macs["entry"] * batch / s2_wall
+    s2_mfu = s2_mac_per_s / VPU_PEAK_INT32_MAC_PER_S
     print(f"# stage2 warmup={warm:.1f}s steady={s2_wall:.1f}s "
-          f"D={sp.D} U={sp.U} num_pb={sp.num_pb} "
+          f"D={sp.D} U={sp.U} num_pb={sp.num_pb} pairs={s2_pairs[0]} "
+          f"({s2_mac_per_s / 1e12:.2f} Tmac/s replay-only numerator = "
+          f"{s2_mfu:.1%} of assumed VPU peak) "
           f"e2e_time={time_full + s2_wall:.1f}s", file=sys.stderr)
     print(json.dumps({
         "metric": "ecm_curves_per_sec_per_chip_416bit_B1_1e6_B2_1e8_e2e",
@@ -205,6 +315,11 @@ def main():
                                     / BASELINE_CURVES_PER_SEC, 3),
         **({"stage1_slice_extrapolation_error": round(full_err, 4)}
            if full_err is not None else {}),
+        **extra,
+        "stage2_mac_per_s": round(s2_mac_per_s, 0),
+        "stage2_mfu_vs_assumed_vpu_peak": round(s2_mfu, 4),
+        "stage2_steady_s": round(s2_wall, 2),
+        "stage2_pairs": s2_pairs[0],
     }))
 
 

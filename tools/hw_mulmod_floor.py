@@ -83,12 +83,43 @@ def make(kind):
                 for s in range(EA):
                     d = norm1(a_in[...] - ring[2 * s])
                     ring[s] = mulmod(ring[s], d, pre=True)
+            elif kind == "mul_nonorm":
+                # pure mulmod chain, no sub/norm1: is the diff prep the
+                # 2.42-vs-1.1 gap?  (round-5 contradiction bisect)
+                scr[...] = mulmod(scr[...], b_in[...], pre=True)
+            elif kind.startswith("tree"):
+                # E diffs tree-reduced as pure VALUES + one acc mul — the
+                # ILP shape the xadd body has (u/v then t1/t2 independent)
+                # and multiacc does NOT: multiacc's chains read AND write
+                # rows of the same scratch ref, which Mosaic may order
+                # conservatively; a value tree has no ref carries inside
+                # the body.  E muls per E entries, entry count = E * iters.
+                ev = int(kind[4:])
+                diffs = [norm1(a_in[...] - ring[s % NB])
+                         for s in range(ev)]
+                while len(diffs) > 1:
+                    diffs = ([mulmod(diffs[j], diffs[j + 1], pre=True)
+                              for j in range(0, len(diffs) - 1, 2)]
+                             + ([diffs[-1]] if len(diffs) % 2 else []))
+                scr[...] = mulmod(scr[...], diffs[0], pre=True)
+            elif kind == "indep2":
+                # TWO independent mulmods per body on pure values (the
+                # minimal xadd-like ILP): if per-mul cost drops vs
+                # mul_only, the VPU was latency- not throughput-bound
+                d1 = norm1(a_in[...] - ring[0])
+                d2 = norm1(a_in[...] - ring[1])
+                m1 = mulmod(d1, b_in[...], pre=True)
+                m2 = mulmod(d2, a_in[...], pre=True)
+                scr[...] = norm1(m1 + m2)
             else:   # independent muls: no acc dependency chain
                 d = norm1(a_in[...] - b_in[...])
                 acc_out[...] = mulmod(d, b_in[...], pre=True)
             return 0
 
-        jax.lax.fori_loop(0, T // EA if kind == "multiacc" else T, body, 0)
+        per_body = (EA if kind == "multiacc"
+                    else int(kind[4:]) if kind.startswith("tree")
+                    else 2 if kind == "indep2" else 1)
+        jax.lax.fori_loop(0, T // per_body, body, 0)
         if kind == "multiacc":
             acc_out[...] = mulmod(mulmod(ring[0], ring[1], pre=True),
                                   mulmod(ring[2], ring[3], pre=True),
@@ -108,7 +139,12 @@ def make(kind):
     )
 
 
-for kind in ("mul_only", "multiacc", "dynslot", "indep"):
+KINDS = os.environ.get(
+    "MB_KINDS",
+    "mul_only,mul_nonorm,indep2,tree4,tree8,tree16,multiacc,dynslot,indep"
+).split(",")
+
+for kind in KINDS:
     run = jax.jit(make(kind))
     out = run(jnp.asarray(a0), jnp.asarray(b0), jnp.asarray(acc0))
     _ = np.asarray(out[0, 0])
