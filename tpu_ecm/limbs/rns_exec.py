@@ -22,6 +22,7 @@ kernel (make_rns_tape_executor): both call the same rns.mont_mul/add/sub.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import List, Tuple
 
@@ -522,7 +523,18 @@ def make_rns_replay_stream_executor(host: rns.RnsHost, batch: int,
     way in (wrapper jnp.pad per call — correctness-first; hoist to a
     once-per-runner padded table if this path is ever made the default)
     and the VMEM stream buffers are [rp, loc]; all arithmetic slices
-    back to the true rows."""
+    back to the true rows.
+
+    The kernel ALWAYS uses the 7-bit split-table base extensions: the
+    small-K direct int32 dot fails to compile inside this kernel (Mosaic
+    "Bad lhs/rhs type vector<32x128xi32> vector<128x128xi32>" at K=24,
+    round 4).  Split and direct are exact over the same inputs (rns.py
+    module docstring), so results are value-identical — this only trades
+    a cheaper dot for MXU-friendly bf16 splits on geometries the auto-
+    router never sends here anyway (VERDICT r4 item 5)."""
+    if not host.dev.use_split:
+        host = dataclasses.replace(
+            host, dev=dataclasses.replace(host.dev, use_split=True))
     rows = host.dev.rows
     rp = -(-rows // 8) * 8
     loc = _local_batch(batch, sharder)
