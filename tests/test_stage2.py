@@ -430,13 +430,18 @@ def test_replay_stream_kernel_value_parity():
     # main body with a 2-entry tail at count=T-2 (14 = 3*4 + 2) and a clean
     # split at count=T (16 = 4*4); unroll=3 gives a different tail phase
     # (14 = 4*3 + 2) and a 1-entry tail at count=T (16 = 5*3 + 1)
-    # (unroll, n_acc): plain loop, two unroll tail phases, and the
+    # (unroll, n_acc, tree): plain loop, two unroll tail phases, the
     # independent-accumulator-chains variant (n_acc=3 at count=T-2 leaves
-    # a 2-entry tail into chain 0; n_acc=4 at count=T splits 4x4)
-    for unroll, n_acc in ((1, 1), (3, 1), (4, 1), (1, 3), (1, 4)):
+    # a 2-entry tail into chain 0; n_acc=4 at count=T splits 4x4), and
+    # the value-tree bodies (tree=3 at count=T-2 leaves a 2-entry tail,
+    # tree=4 at count=T splits clean; both must stay exact mod n under
+    # the re-associated product)
+    for unroll, n_acc, tree in ((1, 1, 0), (3, 1, 0), (4, 1, 0),
+                                (1, 3, 0), (1, 4, 0), (1, 1, 3),
+                                (1, 1, 4)):
         run = pallas_ops.make_replay_stream_executor(
-            ctx, b, PA, PB, t_block=T, n_buffers=3, unroll=unroll,
-            n_acc=n_acc, interpret=True)
+            ctx, b, PA, PB, t_block=T, n_buffers=4, unroll=unroll,
+            n_acc=n_acc, tree=tree, interpret=True)
         # idx[0] = live count: stop after the real entries (the two trailing
         # pads are never touched — exercises the dynamic loop bound); also
         # run with count = T to check pads multiply by one
@@ -446,7 +451,8 @@ def test_replay_stream_kernel_value_parity():
                 run(jnp.asarray(acc0), jnp.asarray(pa), jnp.asarray(pb),
                     jnp.asarray(flat))), p.w)
             for i in range(b):
-                assert got[i] % n == ref[i] % n, (count, unroll, n_acc, i)
+                assert got[i] % n == ref[i] % n, \
+                    (count, unroll, n_acc, tree, i)
 
 
 def test_replay_stream_packed_value_parity():

@@ -830,8 +830,11 @@ class RnsOps:
                                         interpret=self.interpret)
 
     def make_replay_stream(self, b, pa_rows, pb_rows, t_block, n_buffers,
-                           unroll=1, packed=False, n_acc=1):
+                           unroll=1, packed=False, n_acc=1, tree=0):
         assert not packed   # dense digit packing is a digit-plane concept
+        # tree bodies not yet built for the RNS twin: the digit-engine
+        # A/B decides whether the shape is worth porting
+        del tree
         return make_rns_replay_stream_executor(
             self.host, b, pa_rows=pa_rows, pb_rows=pb_rows, t_block=t_block,
             n_buffers=n_buffers, unroll=unroll, n_acc=n_acc,

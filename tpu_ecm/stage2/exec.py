@@ -368,12 +368,12 @@ class DigitOps:
             interpret=self.interpret)
 
     def make_replay_stream(self, b, pa_rows, pb_rows, t_block, n_buffers,
-                           unroll=1, packed=False, n_acc=1):
+                           unroll=1, packed=False, n_acc=1, tree=0):
         from ..limbs import pallas_ops
         return pallas_ops.make_replay_stream_executor(
             self.ctx, b, pa_rows=pa_rows, pb_rows=pb_rows, t_block=t_block,
             n_buffers=n_buffers, unroll=unroll, packed=packed, n_acc=n_acc,
-            sharder=self.sharder, interpret=self.interpret)
+            tree=tree, sharder=self.sharder, interpret=self.interpret)
 
     def pack_replay_rows(self, rows):
         from ..limbs import pallas_ops
@@ -931,13 +931,17 @@ class Stage2Runner:
         # flagship steady; the interleaved DMA waits keep the body
         # latency-bound), kept as a knob for other geometries
         na = int(os.environ.get("TPU_ECM_REPLAY_NACC", "1"))
+        # E-entry value-tree bodies (pallas_ops docstring): the round-5
+        # fix for the serial-chain 2.4-vs-1.1 us per-mulmod gap
+        tr = int(os.environ.get("TPU_ECM_REPLAY_TREE", "0"))
         tb = self.replay_block      # 64k packed entries = 256 KB SMEM
         key = (self._ek, "replay_stream", G + 1, int(self.pbx.shape[0]),
-               tb, nb, ur, pk, na)
+               tb, nb, ur, pk, na, tr)
         if key not in self._cache:
             self._cache[key] = self.ops.make_replay_stream(
                 self.b, pa_rows=G + 1, pb_rows=int(self.pbx.shape[0]),
-                t_block=tb, n_buffers=nb, unroll=ur, packed=pk, n_acc=na)
+                t_block=tb, n_buffers=nb, unroll=ur, packed=pk, n_acc=na,
+                tree=tr)
         replay = self._cache[key]
         if pk:
             if getattr(self, "_pbx_packed_of", None) is not self.pbx:
