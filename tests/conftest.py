@@ -21,3 +21,25 @@ jax.config.update("jax_platforms", "cpu")
 # item 2).  Tests compile in-process; the cache only helps across
 # processes, so disabling it here loses nothing.
 jax.config.update("jax_enable_compilation_cache", False)
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after every test module.
+
+    The full fast suite accumulates hundreds of XLA:CPU executables in
+    one process; at ~item 192 the NEXT backend compile segfaulted inside
+    backend_compile_and_load, twice, deterministically, while the same
+    test passes standalone and its whole file passes alone (VERDICT r4
+    item 2 — first attributed to the compilation-cache write, but the
+    crash persists with the persistent cache disabled, one frame deeper
+    in the compiler).  Bounding per-process executable accumulation is
+    the state reset that matches the evidence; cross-module executor
+    reuse just recompiles."""
+    yield
+    jax.clear_caches()
+    gc.collect()

@@ -10,7 +10,10 @@ geometry and attributes the remainder to DMA/dispatch.
 """
 
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -51,7 +54,7 @@ def make(kind):
     EA = 4       # independent accumulator chains for the multiacc variant
 
     def kernel(a_in, b_in, acc_in, acc_out, scr, ring):
-        mulmod, _, norm1 = pallas_ops._make_arith(ctx)
+        mulmod, sqrmod, norm1 = pallas_ops._make_arith(ctx)
         scr[...] = acc_in[...]
         if kind in ("dynslot", "switchslot", "multiacc"):
             for s in range(NB):
@@ -87,6 +90,37 @@ def make(kind):
                 # pure mulmod chain, no sub/norm1: is the diff prep the
                 # 2.42-vs-1.1 gap?  (round-5 contradiction bisect)
                 scr[...] = mulmod(scr[...], b_in[...], pre=True)
+            elif kind.startswith("chain"):
+                # CV dependent muls inlined per body: does a BIG body
+                # amortize a per-body cost the small bodies pay per mul?
+                cv = int(kind[5:])
+                v = scr[...]
+                for _s in range(cv):
+                    v = mulmod(v, b_in[...], pre=True)
+                scr[...] = v
+            elif kind == "sqr8":
+                # 8 dependent sqrmods: is SQR at the xadd body's rate
+                # while MUL is not?  (xadd is 4 mul + 2 sqr)
+                v = scr[...]
+                for _s in range(8):
+                    v = sqrmod(v, pre=True)
+                scr[...] = v
+            elif kind == "xadd1":
+                # ONE xadd (6 muls, shared operands) per body in THIS
+                # harness — if it matches the stage-1 floor's 6.45 us,
+                # the harness is not the variable; count = point-ops
+                pa0, pa1 = scr[...], a_in[...]
+                pb0, pb1 = b_in[...], a_in[...]
+                pd0, pd1 = a_in[...], b_in[...]
+                s1, d1 = norm1(pa0 + pa1), norm1(pa0 - pa1)
+                s2, d2 = norm1(pb0 + pb1), norm1(pb0 - pb1)
+                u_ = mulmod(d1, s2, pre=True)
+                v_ = mulmod(s1, d2, pre=True)
+                t1 = sqrmod(norm1(u_ + v_), pre=True)
+                t2 = sqrmod(norm1(u_ - v_), pre=True)
+                x2 = mulmod(t1, pd1, pre=True)
+                z2 = mulmod(t2, pd0, pre=True)
+                scr[...] = norm1(x2 + z2)
             elif kind.startswith("tree"):
                 # E diffs tree-reduced as pure VALUES + one acc mul — the
                 # ILP shape the xadd body has (u/v then t1/t2 independent)
@@ -118,6 +152,8 @@ def make(kind):
 
         per_body = (EA if kind == "multiacc"
                     else int(kind[4:]) if kind.startswith("tree")
+                    else int(kind[5:]) if kind.startswith("chain")
+                    else 8 if kind == "sqr8"
                     else 2 if kind == "indep2" else 1)
         jax.lax.fori_loop(0, T // per_body, body, 0)
         if kind == "multiacc":
