@@ -913,7 +913,9 @@ class ECMDriver:
         cfg, ctx = self.cfg, self.ctx
         if self.do_stage2:
             t0 = time.time()
-            sp = s2plan.make_stage2_params(cfg.b1, self.b2)
+            sp = s2plan.make_stage2_params(
+                cfg.b1, self.b2, nw=self.ctx.p.nw,
+                batch=int(pts0.shape[-1]))
             runner = s2exec.Stage2Runner(ctx, self.dctx, sp,
                                          pts0, s_const,
                                          cfg.b1, verbose=cfg.verbose >= 2,

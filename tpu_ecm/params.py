@@ -328,12 +328,15 @@ def choose_stage2_D(b1: int) -> int:
 
 
 def choose_stage2_U(b1: int, b2: int, D: int, veclen_equiv: int = 8) -> int:
-    """Stage-2 window multiplier U by add/inversion cost model.
+    """The REFERENCE's U model, kept for provenance/parity only.
 
     Re-derivation of /root/reference/main.c:884-951 (with the uninitialized
     ``paircost`` term of the reference taken as 0, making the model
     deterministic): minimize 6*(numadds + D*U) + numinv*(veclen*6 + 3) over
     U in {2,3,4,6,8,12,16}.  L is always 2*U (/root/reference/main.c:951).
+    The production selector is choose_stage2_U_tpu — on this design an
+    inversion is ONE host xgcd amortized over the whole batch plus device
+    scans, so the mpz-inversion term above prices the wrong machine.
     """
     best_u, best = 4, float("inf")
     numadds = (b2 - b1) / D
@@ -342,6 +345,66 @@ def choose_stage2_U(b1: int, b2: int, D: int, veclen_equiv: int = 8) -> int:
         numinv = numadds / u / 2.0 + 2
         invcost = numinv * (veclen_equiv * 6.0) + numinv * 3.0
         cost = addcost + invcost
+        if cost < best:
+            best, best_u = cost, u
+    return best_u
+
+
+# TPU stage-2 cost model, hardware-calibrated (round 5, BENCH_NOTES
+# "(D,U) window sweep"): all terms in replay-entry equivalents, so tunnel
+# load and modulus size cancel to first order (every term is VMEM-traffic
+# x batch).  Two independent sessions agreed on the constants:
+S2_ROW_COST = 175.0     # Pb-init cost per stored table row (chain adds +
+#                         donated scatters + inversion scans), measured
+#                         ~0.6 ms/row at B=2048 vs ~3.5 us/entry replay
+S2_WINDOW_COST = 150.0  # per giant-step window shift (U-point extend +
+#                         incremental re-inversion + 1 amortized host xgcd)
+S2_PAIR_C = 0.46        # pairing ratio ~ 0.5 + S2_PAIR_C/U (planner-exact
+#                         fit over U in [6, 32] at D=2310)
+S2_TABLE_HBM_CAP = 6 * 2 ** 30   # Pb-table budget; leaves Pa/chain/
+#                         inversion transients inside the measured 16 GB
+#                         envelope at G <= 4096 (BENCH_NOTES round 4)
+
+
+def _totient(n: int) -> int:
+    r, m, p = n, n, 2
+    while p * p <= m:
+        if m % p == 0:
+            r -= r // p
+            while m % p == 0:
+                m //= p
+        p += 1
+    if m > 1:
+        r -= r // m
+    return r
+
+
+def choose_stage2_U_tpu(b1: int, b2: int, D: int,
+                        nw: Optional[int] = None,
+                        batch: Optional[int] = None) -> int:
+    """Stage-2 window multiplier for THIS machine's cost surface.
+
+    Per curve batch: the Pb table is built ONCE (cost ~ num_pb rows), the
+    replay runs over every prime in (B1, B2] (cost ~ pairmap entries), and
+    each window shift pays an extend + re-invert.  The optimum is
+    B2-DEPENDENT: at the flagship (B2 = 100*B1 = 1e8) init dominates the
+    pairing gain and U=8 measured 13-14% faster stage 2 than the
+    reference-model U=16 in two sessions; at huge B2 (e.g. test.csh:38's
+    1.64e11) the init amortizes over ~60x more primes and large U wins.
+    nw/batch, when known, cap U so the Pb table stays inside the HBM
+    envelope (S2_TABLE_HBM_CAP)."""
+    phi = _totient(D)
+    # prime count approximation (li-free; 4% low at 1e8, cancels in argmin)
+    pcount = max(b2 / math.log(b2) - b1 / math.log(max(b1, 3)), 1.0)
+    windows = max((b2 - b1) / (2.0 * D), 1.0)
+    best_u, best = 8, float("inf")
+    for u in (2, 3, 4, 6, 8, 12, 16, 24, 32):
+        num_pb = u * phi + 3
+        if nw and batch and num_pb * nw * batch * 4 > S2_TABLE_HBM_CAP:
+            continue
+        cost = (S2_ROW_COST * num_pb
+                + pcount * (0.5 + S2_PAIR_C / u)
+                + S2_WINDOW_COST * windows / u)
         if cost < best:
             best, best_u = cost, u
     return best_u

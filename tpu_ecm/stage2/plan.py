@@ -70,11 +70,13 @@ def rprime_map_build(U: int, D: int) -> Tuple[np.ndarray, int]:
 
 
 def make_stage2_params(b1: int, b2: int, D: Optional[int] = None,
-                       U: Optional[int] = None) -> Stage2Params:
-    """D/U default to the cost-model choice; explicit arguments and the
-    TPU_ECM_S2_D / TPU_ECM_S2_U env knobs override (hardware sweeps and
-    HBM-envelope control; any coprime-structured D with U >= 2 is valid —
-    the pairmap coverage audit is D/U-generic)."""
+                       U: Optional[int] = None, nw: Optional[int] = None,
+                       batch: Optional[int] = None) -> Stage2Params:
+    """D/U default to the TPU cost-model choice (params.choose_stage2_U_tpu
+    — B2-dependent, HBM-capped when nw/batch are known); explicit
+    arguments and the TPU_ECM_S2_D / TPU_ECM_S2_U env knobs override
+    (hardware sweeps and HBM-envelope control; any coprime-structured D
+    with U >= 2 is valid — the pairmap coverage audit is D/U-generic)."""
     import os
     if D is None and os.environ.get("TPU_ECM_S2_D"):
         D = int(os.environ["TPU_ECM_S2_D"])
@@ -83,7 +85,7 @@ def make_stage2_params(b1: int, b2: int, D: Optional[int] = None,
     if D is None:
         D = _params.choose_stage2_D(b1)
     if U is None:
-        U = _params.choose_stage2_U(b1, b2, D)
+        U = _params.choose_stage2_U_tpu(b1, b2, D, nw=nw, batch=batch)
     L = 2 * U
     qmap: Dict[int, int] = {}
     qrmap: Dict[int, int] = {}
