@@ -236,8 +236,19 @@ def _rns_tape_kernel(treedef, statics, tape_ref, *refs):
 
 def _ctx_io(host: rns.RnsHost):
     """(leaves, rebuild): the RnsCtx constant tables as explicit kernel
-    inputs + the kernel-side re-assembly (see _rns_tape_kernel)."""
-    leaves, treedef = jax.tree_util.tree_flatten(host.dev)
+    inputs + the kernel-side re-assembly (see _rns_tape_kernel).
+
+    EVERY Pallas kernel gets a forced-split ctx: Mosaic cannot lower the
+    small-K direct int32 dot (`Bad lhs/rhs type vector<16x128xi32>
+    vector<128x128xi32>` — hit in the stream replay at K=24 in round 4
+    and in the stage-1 tape kernel at K=8 in round 5).  The 7-bit
+    split-table base extensions are exact over the same inputs (rns.py
+    module docstring), so kernel results are value-identical; only the
+    host/jnp paths keep the cheaper direct dot."""
+    dev = host.dev
+    if not dev.use_split:
+        dev = dataclasses.replace(dev, use_split=True)
+    leaves, treedef = jax.tree_util.tree_flatten(dev)
     leaves = [jnp.asarray(l) for l in leaves]
 
     def rebuild(refs):
@@ -525,16 +536,9 @@ def make_rns_replay_stream_executor(host: rns.RnsHost, batch: int,
     and the VMEM stream buffers are [rp, loc]; all arithmetic slices
     back to the true rows.
 
-    The kernel ALWAYS uses the 7-bit split-table base extensions: the
-    small-K direct int32 dot fails to compile inside this kernel (Mosaic
-    "Bad lhs/rhs type vector<32x128xi32> vector<128x128xi32>" at K=24,
-    round 4).  Split and direct are exact over the same inputs (rns.py
-    module docstring), so results are value-identical — this only trades
-    a cheaper dot for MXU-friendly bf16 splits on geometries the auto-
-    router never sends here anyway (VERDICT r4 item 5)."""
-    if not host.dev.use_split:
-        host = dataclasses.replace(
-            host, dev=dataclasses.replace(host.dev, use_split=True))
+    The kernel ALWAYS uses the 7-bit split-table base extensions — like
+    every RNS Pallas kernel (see _ctx_io: the small-K direct int32 dot
+    does not lower in Mosaic; split is value-identical)."""
     rows = host.dev.rows
     rp = -(-rows // 8) * 8
     loc = _local_batch(batch, sharder)
@@ -687,7 +691,12 @@ def make_rns_tape_executor(host: rns.RnsHost, batch: int, chunk: int = 4096,
     loc = _local_batch(batch, sharder)
     assert loc % LANE == 0
 
-    leaves, treedef = jax.tree_util.tree_flatten(host.dev)
+    dev = host.dev
+    if not dev.use_split:
+        # forced split in-kernel (see _ctx_io: Mosaic cannot lower the
+        # small-K direct int32 dot); value-identical
+        dev = dataclasses.replace(dev, use_split=True)
+    leaves, treedef = jax.tree_util.tree_flatten(dev)
     leaves = [jnp.asarray(l) for l in leaves]
     kern = functools.partial(_rns_tape_kernel, treedef,
                              {"nleaves": len(leaves)})
@@ -750,16 +759,17 @@ class RnsOps:
 
     def __init__(self, host: rns.RnsHost, sharder=None,
                  interpret: bool = False):
-        # Stream replay is the default on the split (large-K) arithmetic
-        # path, where it measured 2.35x faster stage 2 than gather on the
-        # 2355-bit acceptance row (22.1 vs 52.0 s) after the round-4
-        # odd-rows DMA fix (manual make_async_copy of non-8-aligned
-        # [rows, loc] slabs crashed the TPU worker; slabs are now
-        # sublane-padded — BENCH_NOTES round 4).  The small-K direct
-        # int32-dot mont_mul path does not compile inside this kernel
-        # (Mosaic bad-operand-shape), so those geometries stay on the
-        # hardware-proven gather kernel.  TPU_ECM_REPLAY overrides both.
-        self.default_replay = "stream" if host.dev.use_split else "gather"
+        # Stream replay is the RNS default EVERYWHERE (round 5).  Large-K:
+        # measured 2.35x faster stage 2 than gather on the 2355-bit
+        # acceptance row (22.1 vs 52.0 s) after the round-4 odd-rows DMA
+        # fix (manual make_async_copy of non-8-aligned [rows, loc] slabs
+        # crashed the TPU worker; slabs are now sublane-padded).  Small-K:
+        # the direct int32-dot mont_mul did not COMPILE in-kernel (Mosaic
+        # bad-operand-shape at K=24), fixed by always using the 7-bit
+        # split tables (value-identical); hardware parity probed at the
+        # K=24 use_split=False geometry (tools/hw_rns_smallk.py, round 5).
+        # TPU_ECM_REPLAY=gather overrides.
+        self.default_replay = "stream"
         self.host = host
         self.ctx = host.ctx
         self.rc = host.dev

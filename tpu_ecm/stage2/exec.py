@@ -931,9 +931,15 @@ class Stage2Runner:
         # flagship steady; the interleaved DMA waits keep the body
         # latency-bound), kept as a knob for other geometries
         na = int(os.environ.get("TPU_ECM_REPLAY_NACC", "1"))
-        # E-entry value-tree bodies (pallas_ops docstring): the round-5
-        # fix for the serial-chain 2.4-vs-1.1 us per-mulmod gap
-        tr = int(os.environ.get("TPU_ECM_REPLAY_TREE", "0"))
+        # E-entry value-tree bodies (pallas_ops docstring).  Default 4:
+        # measured ~3% faster full stage-2 steady than the serial chain
+        # at the flagship (13.93 vs 14.35 s), agreeing with the DMA-free
+        # microbench (~4%); the VMEM-bandwidth root cause caps the gain
+        # (BENCH_NOTES round 5).  The digit kernel only — the RNS twin
+        # ignores the knob.
+        tr = int(os.environ.get("TPU_ECM_REPLAY_TREE", "4"))
+        if na > 1:
+            tr = 0              # mutually exclusive variants
         tb = self.replay_block      # 64k packed entries = 256 KB SMEM
         key = (self._ek, "replay_stream", G + 1, int(self.pbx.shape[0]),
                tb, nb, ur, pk, na, tr)
