@@ -8,6 +8,8 @@ quoted in BENCH_NOTES.md.  Run on the TPU:
         [-rns|-both] [-bw 4,8,16] [-force flat|blocked] [nbits ...]
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import sys
 import time

@@ -10,6 +10,8 @@ Montgomery conversion cost is inside the timed wall (driver.py stage-2
 handoff).  Prints stage-1-only and end-to-end curves/s per family plus
 the phase breakdown."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import tempfile
 import time
 

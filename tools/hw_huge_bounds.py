@@ -18,6 +18,8 @@ Pass criterion matches the reference's (completion + internal consistency
 sigma).  Wall/counters and the host sieve+pair share of stage-2 wall are
 recorded for BENCH_NOTES.md."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import sys
 import tempfile
 import time

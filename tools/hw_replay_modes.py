@@ -16,6 +16,8 @@ Outcome decides the default in stage2/exec.py::Stage2Runner._replay_mode
 compile fails at the default 80 MB budget).
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import sys
 import time

@@ -4,6 +4,8 @@ extensions) with the Pallas executors, and must surface the P35 at the
 pinned sigma (curve order mod P35 is cofactor-independent) — the on-TPU
 twin of tests/test_rns_engine.py::test_rns_engine_1536bit_stage2_find."""
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import random
 import tempfile
 import time
