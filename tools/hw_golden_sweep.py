@@ -6,6 +6,7 @@ import sys
 import tempfile
 import time
 
+sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tests")
 
 from test_e2e import GOLDEN_SWEEP, N71  # noqa: E402
