@@ -295,7 +295,7 @@ def main():
     warm = stage2_pass()              # compiles executors (shared cache)
     # steady state (executors cached); best-of-N because tunnel-attached
     # chip throughput varies with external load (BENCH_NOTES.md)
-    s2_reps = int(os.environ.get("BENCH_S2_REPS", "2"))
+    s2_reps = int(os.environ.get("BENCH_S2_REPS", "3"))
     s2_wall = min(stage2_pass() for _ in range(s2_reps))
     e2e = batch / (time_full + s2_wall)
     s2_mac_per_s = s2_pairs[0] * macs["entry"] * batch / s2_wall
