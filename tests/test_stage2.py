@@ -17,6 +17,29 @@ from tpu_ecm.stage2 import plan as s2plan
 P61 = (1 << 61) - 1
 
 
+def test_choose_stage2_U_tpu_model():
+    """Pin the hardware-calibrated model's choices (BENCH_NOTES round 5
+    '(D, U) window sweep'): U=8 at the flagship bounds (init dominates),
+    large U at huge B2 (init amortizes), and the HBM cap bounding U when
+    the Pb table would not fit."""
+    from tpu_ecm import params as p
+    assert p.choose_stage2_U_tpu(1_000_000, 100_000_000, 2310) == 8
+    assert p.choose_stage2_U_tpu(9_000_000, 164_000_000_000, 2310) == 32
+    # HBM cap: at nw=90 (1000-bit) and B=2048, U=32's table would be
+    # ~11 GB — the cap must pick a smaller window
+    capped = p.choose_stage2_U_tpu(9_000_000, 164_000_000_000, 2310,
+                                   nw=90, batch=2048)
+    assert capped < 32
+    assert (capped * 480 + 3) * 90 * 2048 * 4 <= p.S2_TABLE_HBM_CAP
+    # coverage is D/U-generic: the chosen window must plan + audit
+    sp = s2plan.make_stage2_params(20000, 400000)
+    from tpu_ecm.primes import primes_range
+    prs = primes_range(10000, 401000)
+    v, u, amin0, _ = s2plan.pair(sp, prs, 20000, 400000,
+                                 allow_native=False)
+    s2plan.audit_coverage(sp, v, u, amin0, prs, 20000, 400000)
+
+
 @pytest.mark.parametrize("b1,b2", [(300, 10000), (2000, 50000),
                                    (10000, 200000)])
 def test_pairmap_covers_all_primes(b1, b2):
