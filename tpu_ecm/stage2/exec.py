@@ -462,10 +462,25 @@ class Stage2Runner:
         # buffer + 2.8 GB table -> RESOURCE_EXHAUSTED, BENCH_NOTES round
         # 4).  Smaller G trades ~13.7 ms of extra replay dispatch per
         # group boundary for a proportionally lower peak.
+        one = self.ops.one_plane_np(b)
         pg = os.environ.get("TPU_ECM_PA_GROUP")
         if pg:
             self.pa_group = int(pg)
-        one = self.ops.one_plane_np(b)
+        elif self.use_pallas and not interpret:
+            # AUTO-SIZE the group to the measured HBM envelope (round 5:
+            # the 624-bit/2048-curve/U=16 config OOMed exactly like the
+            # round-4 513-bit row until TPU_ECM_PA_GROUP was set by hand
+            # — the runner should apply its own rule).  Peak model
+            # (BENCH_NOTES round 4): Pb table num_pb*rows*B*4 plus ~3
+            # chain/inversion transients of G*2*rows*B*4 within ~12 GB
+            # usable of the 16 GB chip.  rows = per-value plane rows for
+            # WHICHEVER engine (digit nw / RNS residue rows), read off
+            # the one-plane the engine just built.
+            nwrows = int(one.shape[0])
+            budget = 12 * 2 ** 30 - sp.num_pb * nwrows * b * 4
+            g = budget // max(1, 3 * 2 * nwrows * b * 4)
+            while self.pa_group > 64 and self.pa_group > g:
+                self.pa_group //= 2
         self.one_plane = (sharder.device_put(one) if sharder is not None
                           else jnp.asarray(one))
         self.acc = self.one_plane     # mdata->one init (/root/reference/ecm.c:2318)
