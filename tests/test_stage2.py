@@ -625,6 +625,45 @@ def test_stage2_pa_group_env_value_parity(monkeypatch):
         assert got.paired == ref.paired
 
 
+def test_stage2_fused_group_pipeline_parity(monkeypatch):
+    """TPU_ECM_FUSED=1 (default on the pallas path) fuses each init /
+    giant-step group's chain + gather + mask + prefix and suffix-apply +
+    scatter into single jitted calls (dispatch economy through the tunnel,
+    ~13.7 ms/call).  The fused bodies inline the SAME cached executors the
+    eager composition calls, so accumulators, factor harvests, and pair
+    counts must be bit-identical to TPU_ECM_FUSED=0."""
+    n = P61
+    b1, b2 = 300, 4000
+    ctx = params.make_monty(n)
+    dctx = jnp_ops.device_ctx(ctx)
+    curves = [suyama.build_one_curve(ctx, 40 + i) for i in range(128)]
+    p = ctx.p
+    pt = np.stack([layout.pack_batch([c.x_mont for c in curves], p.w, p.nw),
+                   layout.pack_batch([c.z_mont for c in curves], p.w, p.nw)])
+    s_const = jnp.asarray(
+        layout.pack_batch([c.s_mont for c in curves], p.w, p.nw))
+    sp = s2plan.make_stage2_params(b1, b2)
+    primes = primes_range(b1, b2 + 1000)
+    map_v, map_u, amin0, _ = s2plan.pair(sp, primes, b1, b2)
+
+    def run(fused):
+        monkeypatch.setenv("TPU_ECM_FUSED", fused)
+        runner = s2exec.Stage2Runner(ctx, dctx, sp, jnp.asarray(pt), s_const,
+                                     b1, use_pallas=True, interpret=True)
+        assert runner.fused == (fused != "0")
+        runner.init()
+        runner.run_chunk(map_v, map_u, amin0)
+        return runner.result(), runner.ptadds, runner.numinv
+
+    ref, ref_adds, ref_inv = run("0")
+    got, got_adds, got_inv = run("1")
+    assert got.acc == ref.acc
+    assert got.factors == ref.factors
+    assert got.paired == ref.paired
+    assert got_adds == ref_adds
+    assert got_inv == ref_inv
+
+
 @pytest.mark.slow
 def test_stage2_replay_resident_runner_parity(monkeypatch):
     """Full Stage2Runner in resident-replay mode with the slab budget forced

@@ -481,6 +481,11 @@ class Stage2Runner:
             g = budget // max(1, 3 * 2 * nwrows * b * 4)
             while self.pa_group > 64 and self.pa_group > g:
                 self.pa_group //= 2
+        # fused per-group pipelines (see "fused group pipelines" below):
+        # default on for every pallas path; TPU_ECM_FUSED=0 restores the
+        # eager per-op composition for dispatch A/Bs
+        self.fused = (self.use_pallas
+                      and os.environ.get("TPU_ECM_FUSED", "1") != "0")
         self.one_plane = (sharder.device_put(one) if sharder is not None
                           else jnp.asarray(one))
         self.acc = self.one_plane     # mdata->one init (/root/reference/ecm.c:2318)
@@ -510,10 +515,23 @@ class Stage2Runner:
 
     # -- inversion helper ---------------------------------------------------
 
+    def _harvest_inverse(self, total_plane):
+        """ONE host modinv for a prefix-product total; harvests
+        inversion-failure gcds into self.factors (the reference's
+        batch-invert gcd detection, /root/reference/ecm.c:2002-2133).
+        Returns the packed total-inverse plane."""
+        self.numinv += 1
+        total = self.ops.unpack(total_plane)
+        inv_ints, fnd = host_batch_inverse(self.ctx, total,
+                                           premul=self.ops.inv_premul)
+        for i, f in fnd.items():
+            if f and i not in self.factors:
+                self.factors[i] = f
+        return jnp.asarray(self.ops.pack(inv_ints))
+
     def _invert_planes(self, xs, zs):
         """x_i/z_i in Montgomery form for stacked planes [K, ...]; one host
         modinv for the whole (K x B) block."""
-        self.numinv += 1
         k = int(zs.shape[0])
         if self.use_pallas:
             if (self._ek, "prefix", k) not in self._cache:
@@ -524,13 +542,7 @@ class Stage2Runner:
             prefix = self._cache[(self._ek, "prefix", k)](zs, self.one_plane)
         else:
             prefix = self.ops.z_prefix(zs, self.one_plane)
-        total = self.ops.unpack(prefix[-1])
-        inv_ints, fnd = host_batch_inverse(self.ctx, total,
-                                           premul=self.ops.inv_premul)
-        for i, f in fnd.items():
-            if f and i not in self.factors:
-                self.factors[i] = f
-        total_inv = jnp.asarray(self.ops.pack(inv_ints))
+        total_inv = self._harvest_inverse(prefix[-1])
         if self.use_pallas:
             pres = jnp.concatenate([self.one_plane[None], prefix[:-1]],
                                    axis=0)
@@ -559,6 +571,93 @@ class Stage2Runner:
             inv = self._invert_planes(sx, sz)
             outs.append(inv[:cnt])
         return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+    # -- fused group pipelines (dispatch economy) ---------------------------
+    #
+    # Through the axon tunnel every device call costs ~13.7 ms of host
+    # dispatch (BENCH_NOTES round 3), and the init / giant-step loops run
+    # one G-point group per iteration.  Composed eagerly, each group pays
+    # ~8-10 dispatches (chain, slices, gathers, masks, prefix, concats,
+    # apply, scatter); fused under one jit per phase it pays TWO plus the
+    # unavoidable host-modinv round-trip.  Value semantics are identical —
+    # the fused bodies inline the SAME cached chain/prefix/apply executors
+    # the eager path calls (golden-sweep invariant); TPU_ECM_FUSED=0
+    # restores the eager composition for A/B.
+
+    def _ensure_group_kernels(self):
+        G = self.pa_group
+        if (self._ek, "chain", G) not in self._cache:
+            self._cache[(self._ek, "chain", G)] = self.ops.make_chain(self.b,
+                                                                      G)
+        if (self._ek, "prefix", G) not in self._cache:
+            self._cache[(self._ek, "prefix", G)] = \
+                self.ops.make_prefix(self.b, G)
+            self._cache[(self._ek, "apply", G)] = \
+                self.ops.make_apply(self.b, G)
+
+    def _fused_prep(self, gather: bool):
+        """chain-extend G points -> (optional stored-row gather) -> mask tail
+        rows to the Montgomery one -> prefix products, as ONE device call.
+        Returns (new_last, new_prev, xs, zs, prefix, prefix_total)."""
+        G = self.pa_group
+        key = (self._ek, "fprep", G, gather)
+        if key not in self._cache:
+            self._ensure_group_kernels()
+            chain = self._cache[(self._ek, "chain", G)]
+            prefix_f = self._cache[(self._ek, "prefix", G)]
+
+            def mask_prefix(group, xs, zs, m, one):
+                rows = jax.lax.broadcasted_iota(jnp.int32, (G, 1, 1), 0)
+                xs = jnp.where(rows < m, xs, one[None])
+                zs = jnp.where(rows < m, zs, one[None])
+                pre = prefix_f(zs, one)
+                return group[-1], group[-2], xs, zs, pre, pre[-1]
+
+            if gather:
+                def body(p1, p2, pd, gi, m, one):
+                    group = chain(p1, p2, pd)
+                    xs = jnp.take(group[:, 0], gi, axis=0)
+                    zs = jnp.take(group[:, 1], gi, axis=0)
+                    return mask_prefix(group, xs, zs, m, one)
+            else:
+                def body(p1, p2, pd, m, one):
+                    group = chain(p1, p2, pd)
+                    return mask_prefix(group, group[:, 0], group[:, 1], m,
+                                       one)
+            self._cache[key] = jax.jit(body)
+        return self._cache[key]
+
+    def _fused_apply_scatter(self, donate: bool):
+        """suffix-apply the batch inversion and scatter the affine rows into
+        the Pb table, as ONE device call (donated in-place on accelerators,
+        same gate as _scatter_rows)."""
+        key = (self._ek, "fscat", self.pa_group, donate)
+        if key not in self._cache:
+            self._ensure_group_kernels()
+            apply_f = self._cache[(self._ek, "apply", self.pa_group)]
+
+            def body(pbx, xs, zs, pre, tinv, sl, one):
+                pres = jnp.concatenate([one[None], pre[:-1]], axis=0)
+                inv = apply_f(xs, zs, pres, tinv)
+                return pbx.at[sl].set(inv)
+            self._cache[key] = jax.jit(
+                body, donate_argnums=(0,) if donate else ())
+        return self._cache[key]
+
+    def _fused_apply_ext(self):
+        """suffix-apply + append the Montgomery-one pad row (the replay
+        kernels' pad gather target), as ONE device call."""
+        key = (self._ek, "fext", self.pa_group)
+        if key not in self._cache:
+            self._ensure_group_kernels()
+            apply_f = self._cache[(self._ek, "apply", self.pa_group)]
+
+            def body(xs, zs, pre, tinv, one):
+                pres = jnp.concatenate([one[None], pre[:-1]], axis=0)
+                inv = apply_f(xs, zs, pres, tinv)
+                return jnp.concatenate([inv, one[None]], axis=0)
+            self._cache[key] = jax.jit(body)
+        return self._cache[key]
 
     def _extend(self, p1, p2, count: int, pd=None):
         """count new chain points out[i] = out[i-1] + pd (diff out[i-2]) from
@@ -600,24 +699,37 @@ class Stage2Runner:
         pbx = _scatter_rows(pbx, jnp.array([1, 2]), inv12)
         G = self.pa_group
         rows = jnp.arange(G)[:, None, None]
+        try:
+            donate = {d.platform for d in pbx.devices()} != {"cpu"}
+        except Exception:
+            donate = jax.default_backend() != "cpu"
         p_last, p_prev = q2, q1
         for base in range(3, sp.umax + 1, G):
             cnt = min(G, sp.umax + 1 - base)
-            group = self._extend(p_last, p_prev, G, pd=q1)
-            p_last, p_prev = group[-1], group[-2]
             slots = sp.rprime_map[base:base + cnt].astype(np.int64)
             sel = np.nonzero(slots)[0]
             gi = np.zeros(G, dtype=np.int32)
             gi[:sel.size] = sel
-            gx = jnp.take(group[:, 0], jnp.asarray(gi), axis=0)
-            gz = jnp.take(group[:, 1], jnp.asarray(gi), axis=0)
             m = int(sel.size)
-            gx = jnp.where(rows < m, gx, self.one_plane[None])
-            gz = jnp.where(rows < m, gz, self.one_plane[None])
-            inv = self._invert_planes(gx, gz)
             sl = np.zeros(G, dtype=np.int32)
             sl[:m] = slots[sel]
-            pbx = _scatter_rows(pbx, sl, inv)
+            if self.fused:
+                prep = self._fused_prep(gather=True)
+                p_last, p_prev, gx, gz, pre, total = prep(
+                    p_last, p_prev, q1, jnp.asarray(gi), np.int32(m),
+                    self.one_plane)
+                tinv = self._harvest_inverse(total)
+                pbx = self._fused_apply_scatter(donate)(
+                    pbx, gx, gz, pre, tinv, jnp.asarray(sl), self.one_plane)
+            else:
+                group = self._extend(p_last, p_prev, G, pd=q1)
+                p_last, p_prev = group[-1], group[-2]
+                gx = jnp.take(group[:, 0], jnp.asarray(gi), axis=0)
+                gz = jnp.take(group[:, 1], jnp.asarray(gi), axis=0)
+                gx = jnp.where(rows < m, gx, self.one_plane[None])
+                gz = jnp.where(rows < m, gz, self.one_plane[None])
+                inv = self._invert_planes(gx, gz)
+                pbx = _scatter_rows(pbx, sl, inv)
         # padded scatter rows land in slot 0, which must stay the zero row
         # (replay pad entries read pbx[0] = 0)
         zero = jnp.zeros_like(pbx[:1])
@@ -744,6 +856,26 @@ class Stage2Runner:
         pos = 0
         base = 0
         while base <= max_j:
+            hi = np.searchsorted(entries[:, 0], base + G)
+            # fused fast path: one prep call + one apply call per group
+            # instead of ~8 eager dispatches (see "fused group pipelines")
+            if (self.fused and pending is None and hi > pos
+                    and self.cross != "noinv"):
+                valid = min(max_j - base + 1, G)
+                prep = self._fused_prep(gather=False)
+                p_last, p_prev, xs, zs, pre, total = prep(
+                    p_last, p_prev, self.pd, np.int32(valid), self.one_plane)
+                self.ptadds += G
+                tinv = self._harvest_inverse(total)
+                pa_inv_ext = self._fused_apply_ext()(xs, zs, pre, tinv,
+                                                     self.one_plane)
+                idx = np.stack([entries[pos:hi, 0] - base,
+                                entries[pos:hi, 1]], axis=1).astype(np.int32)
+                self._replay(pa_inv_ext, idx)
+                self.paired += int(idx.shape[0])
+                pos = hi
+                base += G
+                continue
             # build global points [base, base+G)
             if pending is not None:
                 rest = self._extend(p_last, p_prev, G - 1)
@@ -755,7 +887,6 @@ class Stage2Runner:
                 self.ptadds += G
             p_last, p_prev = group[-1], group[-2]
 
-            hi = np.searchsorted(entries[:, 0], base + G)
             if hi > pos:
                 idx = np.stack([entries[pos:hi, 0] - base,
                                 entries[pos:hi, 1]], axis=1).astype(np.int32)
