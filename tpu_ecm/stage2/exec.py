@@ -478,7 +478,10 @@ class Stage2Runner:
             # the one-plane the engine just built.
             nwrows = int(one.shape[0])
             budget = 12 * 2 ** 30 - sp.num_pb * nwrows * b * 4
-            g = budget // max(1, 3 * 2 * nwrows * b * 4)
+            # 4*2 plane-equivalents per G row: ~3 chain/inversion transients
+            # (round-4 peak model) + one deferred (xs, zs, pre) stack held
+            # live by the one-group-ahead pipeline (fused path)
+            g = budget // max(1, 4 * 2 * nwrows * b * 4)
             while self.pa_group > 64 and self.pa_group > g:
                 self.pa_group //= 2
         # fused per-group pipelines (see "fused group pipelines" below):
@@ -659,6 +662,34 @@ class Stage2Runner:
             self._cache[key] = jax.jit(body)
         return self._cache[key]
 
+    # One-group-ahead pipelining: prep(g+1) is DISPATCHED before group g's
+    # prefix total is pulled, so the ~34 ms tunnel round-trip + ~30 ms host
+    # inversion math of group g overlap group g's replay / group g+1's chain
+    # on device (measured latencies in NEXT.md).  Finish order stays
+    # g, g+1, ... — the inversion-failure harvest set and its first-find-
+    # per-curve ordering are identical to the unpipelined fused path.
+    # Depth 2 keeps one extra (xs, zs, pre) stack live; the auto-G HBM
+    # divisor in __init__ accounts for it.
+
+    @staticmethod
+    def _start_host_copy(total):
+        try:                          # overlap the device->host pull with
+            total.copy_to_host_async()  # the next group's device work
+        except Exception:
+            pass                      # np.asarray in unpack will block
+
+    def _finish_init_group(self, pbx, donate, xs, zs, pre, total, sl):
+        tinv = self._harvest_inverse(total)
+        return self._fused_apply_scatter(donate)(
+            pbx, xs, zs, pre, tinv, sl, self.one_plane)
+
+    def _finish_giant_group(self, xs, zs, pre, total, idx):
+        tinv = self._harvest_inverse(total)
+        pa_inv_ext = self._fused_apply_ext()(xs, zs, pre, tinv,
+                                             self.one_plane)
+        self._replay(pa_inv_ext, idx)
+        self.paired += int(idx.shape[0])
+
     def _extend(self, p1, p2, count: int, pd=None):
         """count new chain points out[i] = out[i-1] + pd (diff out[i-2]) from
         carry (p1, p2) = (newest, previous)."""
@@ -704,6 +735,7 @@ class Stage2Runner:
         except Exception:
             donate = jax.default_backend() != "cpu"
         p_last, p_prev = q2, q1
+        flush = None
         for base in range(3, sp.umax + 1, G):
             cnt = min(G, sp.umax + 1 - base)
             slots = sp.rprime_map[base:base + cnt].astype(np.int64)
@@ -718,9 +750,10 @@ class Stage2Runner:
                 p_last, p_prev, gx, gz, pre, total = prep(
                     p_last, p_prev, q1, jnp.asarray(gi), np.int32(m),
                     self.one_plane)
-                tinv = self._harvest_inverse(total)
-                pbx = self._fused_apply_scatter(donate)(
-                    pbx, gx, gz, pre, tinv, jnp.asarray(sl), self.one_plane)
+                self._start_host_copy(total)
+                if flush is not None:
+                    pbx = self._finish_init_group(pbx, donate, *flush)
+                flush = (gx, gz, pre, total, jnp.asarray(sl))
             else:
                 group = self._extend(p_last, p_prev, G, pd=q1)
                 p_last, p_prev = group[-1], group[-2]
@@ -730,6 +763,8 @@ class Stage2Runner:
                 gz = jnp.where(rows < m, gz, self.one_plane[None])
                 inv = self._invert_planes(gx, gz)
                 pbx = _scatter_rows(pbx, sl, inv)
+        if flush is not None:
+            pbx = self._finish_init_group(pbx, donate, *flush)
         # padded scatter rows land in slot 0, which must stay the zero row
         # (replay pad entries read pbx[0] = 0)
         zero = jnp.zeros_like(pbx[:1])
@@ -855,10 +890,13 @@ class Stage2Runner:
 
         pos = 0
         base = 0
+        flush = None
         while base <= max_j:
             hi = np.searchsorted(entries[:, 0], base + G)
             # fused fast path: one prep call + one apply call per group
-            # instead of ~8 eager dispatches (see "fused group pipelines")
+            # instead of ~8 eager dispatches, finished one group BEHIND so
+            # the host round-trip hides under device replay (see "fused
+            # group pipelines" / pipelining note above)
             if (self.fused and pending is None and hi > pos
                     and self.cross != "noinv"):
                 valid = min(max_j - base + 1, G)
@@ -866,16 +904,18 @@ class Stage2Runner:
                 p_last, p_prev, xs, zs, pre, total = prep(
                     p_last, p_prev, self.pd, np.int32(valid), self.one_plane)
                 self.ptadds += G
-                tinv = self._harvest_inverse(total)
-                pa_inv_ext = self._fused_apply_ext()(xs, zs, pre, tinv,
-                                                     self.one_plane)
+                self._start_host_copy(total)
+                if flush is not None:
+                    self._finish_giant_group(*flush)
                 idx = np.stack([entries[pos:hi, 0] - base,
                                 entries[pos:hi, 1]], axis=1).astype(np.int32)
-                self._replay(pa_inv_ext, idx)
-                self.paired += int(idx.shape[0])
+                flush = (xs, zs, pre, total, idx)
                 pos = hi
                 base += G
                 continue
+            if flush is not None:      # keep inversion/harvest order before
+                self._finish_giant_group(*flush)   # any eager-path group
+                flush = None
             # build global points [base, base+G)
             if pending is not None:
                 rest = self._extend(p_last, p_prev, G - 1)
@@ -924,6 +964,8 @@ class Stage2Runner:
                 self.paired += int(idx.shape[0])
                 pos = hi
             base += G
+        if flush is not None:
+            self._finish_giant_group(*flush)
 
     # replay-kernel mode: "gather" DMAs one Pb row from HBM per entry;
     # "resident" keeps Pb row slabs VMEM-resident and partitions entries
